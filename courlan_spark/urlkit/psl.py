@@ -1,0 +1,150 @@
+"""Registrable-domain lookup against an embedded public-suffix subset.
+
+The reference resolves registrable domains with the ``tld`` package
+(/root/reference/courlan/urlutils.py:24-42) as a fallback behind a
+regex fast path.  That package is a thin index over the public-domain
+Mozilla Public Suffix List; we embed a practical subset of the PSL
+(ICANN section) covering generic TLDs, country TLDs and the common
+second-level registrations, which is sufficient for the fallback's
+role: the fast path already handles the long tail of well-formed URLs.
+
+Contract (mirrors ``tld.get_tld(..., as_object=True, fail_silently=True)``):
+``registrable_domain(url)`` returns ``(domain_label, fld)`` or ``None``
+when the URL has no parseable host, the host's TLD is unknown, or the
+host *is* a bare public suffix.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+_GENERIC_TLDS = """
+com net org info biz name pro mobi aero asia cat coop edu gov int jobs
+mil museum post tel travel xxx app art bar bid bio blog buzz cafe cam
+camp care casa cash chat cheap city click cloud club codes coffee
+cool dance date dating design dev digital directory download earth
+email energy estate events exchange expert express fail faith family
+fans farm fashion finance fit fitness flights florist forsale forum
+foundation fun fund furniture fyi games garden gift gifts gives glass
+global gold golf graphics gratis green grip group guide guru haus
+health help here hiphop hockey holdings holiday homes horse host
+hosting house how icu immo inc industries ink institute insure
+international investments jewelry jetzt kim kitchen land lat law
+lawyer lease legal life lighting limited limo link live loan loans
+lol london love ltd luxury market marketing mba media memorial men
+menu moda moe mom money monster mortgage motorcycles movie network
+news ninja now nyc one online ooo page paris partners parts party
+photo photography photos pics pictures pink pizza place plumbing plus
+poker porn press productions promo properties property pub racing
+recipes red rehab reise reisen rent rentals repair report rest
+restaurant review reviews rip rocks rodeo run sale salon sarl school
+schule science services sex sexy shoes shop shopping show singles
+site ski soccer social software solar solutions space sport store
+stream studio study style sucks supplies supply support surf surgery
+systems tattoo tax taxi team tech technology tennis theater tienda
+tips tires today tools top tours town toys trade training tube vegas
+ventures vet viajes video villas vin vip vision vodka vote voyage
+watch webcam website wedding wiki win wine work works world wtf xyz
+yoga zone
+""".split()
+
+_COUNTRY_TLDS = """
+ac ad ae af ag ai al am ao aq ar as at au aw ax az ba bb bd be bf bg
+bh bi bj bm bn bo br bs bt bw by bz ca cc cd cf cg ch ci ck cl cm cn
+co cr cu cv cw cx cy cz de dj dk dm do dz ec ee eg er es et eu fi fj
+fk fm fo fr ga gd ge gf gg gh gi gl gm gn gp gq gr gs gt gu gw gy hk
+hm hn hr ht hu id ie il im in io iq ir is it je jm jo jp ke kg kh ki
+km kn kp kr kw ky kz la lb lc li lk lr ls lt lu lv ly ma mc md me mg
+mh mk ml mm mn mo mp mq mr ms mt mu mv mw mx my mz na nc ne nf ng ni
+nl no np nr nu nz om pa pe pf pg ph pk pl pm pn pr ps pt pw py qa re
+ro rs ru rw sa sb sc sd se sg sh si sk sl sm sn so sr ss st su sv sx
+sy sz tc td tf tg th tj tk tl tm tn to tr tt tv tw tz ua ug uk us uy
+uz va vc ve vg vi vn vu wf ws ye yt za zm zw
+""".split()
+
+_IDN_TLDS = """
+xn--p1ai xn--fiqs8s xn--fiqz9s xn--55qx5d xn--io0a7i xn--wgbh1c
+xn--kprw13d xn--kpry57d xn--o3cw4h xn--mgbaam7a8h xn--mgberp4a5d4ar
+xn--ygbi2ammx xn--90ais xn--fzc2c9e2c xn--d1alf xn--node xn--j1amh
+xn--90a3ac xn--e1a4c xn--qxam
+""".split()
+
+# Common multi-label public suffixes (second level registrations).
+_SECOND_LEVEL = """
+co.uk org.uk me.uk ltd.uk plc.uk net.uk sch.uk ac.uk gov.uk nhs.uk
+com.au net.au org.au edu.au gov.au asn.au id.au
+co.nz net.nz org.nz govt.nz ac.nz school.nz geek.nz gen.nz maori.nz
+co.jp or.jp ne.jp ac.jp ad.jp ed.jp go.jp gr.jp lg.jp
+com.cn net.cn org.cn gov.cn edu.cn ac.cn
+com.hk edu.hk gov.hk idv.hk net.hk org.hk
+com.tw net.tw org.tw edu.tw gov.tw idv.tw
+com.sg net.sg org.sg edu.sg gov.sg per.sg
+co.in net.in org.in firm.in gen.in ind.in ac.in edu.in gov.in res.in
+com.br net.br org.br gov.br edu.br art.br blog.br eco.br
+com.mx net.mx org.mx gob.mx edu.mx
+com.ar net.ar org.ar gob.ar edu.ar int.ar mil.ar
+com.co net.co org.co edu.co gov.co nom.co
+co.za net.za org.za web.za ac.za gov.za edu.za
+com.tr net.tr org.tr gen.tr web.tr edu.tr gov.tr av.tr bbs.tr
+co.kr or.kr ne.kr re.kr pe.kr go.kr ac.kr
+com.ua net.ua org.ua edu.ua gov.ua in.ua kiev.ua
+com.ru net.ru org.ru msk.ru spb.ru
+com.pl net.pl org.pl edu.pl gov.pl info.pl waw.pl
+com.pt edu.pt gov.pt int.pt net.pt nome.pt org.pt publ.pt
+com.es nom.es org.es gob.es edu.es
+com.gr edu.gr net.gr org.gr gov.gr
+com.ro org.ro tm.ro nt.ro nom.ro info.ro rec.ro arts.ro firm.ro www.ro
+co.il org.il net.il ac.il gov.il muni.il idf.il
+com.my net.my org.my gov.my edu.my mil.my name.my
+co.id net.id or.id web.id sch.id ac.id go.id mil.id biz.id my.id
+com.ph net.ph org.ph gov.ph edu.ph ngo.ph mil.ph i.ph
+co.th in.th ac.th go.th mi.th net.th or.th
+com.vn net.vn org.vn edu.vn gov.vn int.vn ac.vn biz.vn info.vn name.vn
+com.sa net.sa org.sa gov.sa med.sa pub.sa edu.sa sch.sa
+com.eg net.eg org.eg gov.eg edu.eg sci.eg eun.eg
+co.ke or.ke ne.ke go.ke info.ke me.ke mobi.ke sc.ke ac.ke
+com.ng net.ng org.ng gov.ng edu.ng name.ng sch.ng mobi.ng
+com.pk net.pk org.pk gov.pk edu.pk fam.pk biz.pk web.pk gok.pk gob.pk
+com.bd net.bd org.bd edu.bd gov.bd ac.bd mil.bd
+co.at or.at ac.at gv.at priv.at
+co.hu info.hu org.hu priv.hu sport.hu tm.hu 2000.hu agrar.hu bolt.hu
+com.sv com.bo com.py com.uy com.ve com.pe com.ec com.gt com.ni com.pa
+com.do com.hn com.cu com.pr com.jm com.bs com.bb com.ag com.lc
+com.np com.lk com.mm com.kh com.la com.mo com.mt com.cy com.lb com.jo
+com.kw com.qa com.bh com.om com.ye com.sy com.iq com.af com.dz com.tn
+com.ly com.ma co.ma com.sd com.et com.gh com.ci com.sn com.cm com.tz
+co.tz co.ug co.zm co.zw com.na com.bw com.mu com.mg com.mz com.ao
+gen.ck biz.ck info.ck
+""".split()
+
+PUBLIC_SUFFIXES = frozenset(
+    _GENERIC_TLDS + _COUNTRY_TLDS + _IDN_TLDS + _SECOND_LEVEL
+)
+
+_MAX_SUFFIX_LABELS = 2
+
+
+def registrable_domain(url: str) -> tuple[str, str] | None:
+    "Resolve (domain_label, registrable_domain) for a URL, or None."
+    try:
+        hostname = urlsplit(url).hostname
+    except ValueError:
+        return None
+    if not hostname:
+        return None
+    hostname = hostname.rstrip(".").lower()
+    labels = hostname.split(".")
+    if any(not label for label in labels):
+        return None
+
+    suffix_len = 0
+    for take in range(min(_MAX_SUFFIX_LABELS, len(labels)), 0, -1):
+        if ".".join(labels[-take:]) in PUBLIC_SUFFIXES:
+            suffix_len = take
+            break
+    if not suffix_len or suffix_len >= len(labels):
+        return None
+
+    domain_label = labels[-suffix_len - 1]
+    fld = ".".join(labels[-suffix_len - 1 :])
+    return domain_label, fld
