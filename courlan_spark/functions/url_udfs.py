@@ -1,0 +1,187 @@
+"""Arrow-batched pandas UDFs evaluating the urlkit parity layer.
+
+One JVM->Python boundary per stage: each UDF receives a pandas Series
+backed by an Arrow batch, evaluates the fused scalar pipeline with
+per-batch caching, and returns columnar results.  Regexes compile
+once per executor (module import); the per-URL work is the same
+early-exit chain as the reference's check_url
+(/root/reference/courlan/core.py:63-122).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..urlkit import (
+    check_url,
+    extract_domain,
+    extract_links,
+    get_host_and_path,
+    normalize_url,
+    scrub_url,
+)
+
+CHECK_RESULT_SCHEMA = StructType(
+    [
+        StructField("norm_url", StringType()),
+        StructField("domain", StringType()),
+    ]
+)
+
+HOST_PATH_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("path", StringType()),
+    ]
+)
+
+
+def make_check_url_udf(
+    strict: bool = False,
+    language: str | None = None,
+    with_nav: bool = False,
+    trailing_slash: bool = True,
+):
+    """Vectorized check_url: url -> struct(norm_url, domain), both NULL
+    when the row is rejected.  Filter on ``norm_url IS NOT NULL``."""
+
+    @pandas_udf(CHECK_RESULT_SCHEMA)
+    def check_udf(urls: pd.Series) -> pd.DataFrame:
+        norms: list[str | None] = []
+        domains: list[str | None] = []
+        for url in urls:
+            checked = (
+                check_url(
+                    url,
+                    strict=strict,
+                    language=language,
+                    with_nav=with_nav,
+                    trailing_slash=trailing_slash,
+                )
+                if isinstance(url, str)
+                else None
+            )
+            if checked is None:
+                norms.append(None)
+                domains.append(None)
+            else:
+                norms.append(checked[0])
+                domains.append(checked[1])
+        return pd.DataFrame({"norm_url": norms, "domain": domains})
+
+    return check_udf
+
+
+def make_normalize_udf(
+    strict: bool = False,
+    language: str | None = None,
+    trailing_slash: bool = True,
+):
+    "Vectorized scrub+normalize; NULL on rejection (ValueError rows)."
+
+    @pandas_udf(StringType())
+    def normalize_udf(urls: pd.Series) -> pd.Series:
+        out: list[str | None] = []
+        for url in urls:
+            if not isinstance(url, str):
+                out.append(None)
+                continue
+            try:
+                out.append(
+                    normalize_url(scrub_url(url), strict, language, trailing_slash)
+                )
+            except (AttributeError, ValueError):
+                out.append(None)
+        return pd.Series(out)
+
+    return normalize_udf
+
+
+@pandas_udf(StringType())
+def scrub_url_udf(urls: pd.Series) -> pd.Series:
+    "Vectorized textual URL repair."
+    return urls.map(lambda u: scrub_url(u) if isinstance(u, str) else None)
+
+
+def make_extract_domain_udf(fast: bool = True, blacklist: frozenset[str] | None = None):
+    "Vectorized registrable-domain extraction with a per-batch cache."
+
+    @pandas_udf(StringType())
+    def extract_domain_udf(urls: pd.Series) -> pd.Series:
+        cache: dict[str, str | None] = {}
+
+        def one(url):
+            if not isinstance(url, str):
+                return None
+            # cache per base (scheme://host) — registrable domain only
+            # depends on the host part
+            cut = url.find("/", 8)
+            base = url if cut == -1 else url[:cut]
+            if base not in cache:
+                cache[base] = extract_domain(base, blacklist=blacklist, fast=fast)
+            return cache[base]
+
+        return urls.map(one)
+
+    return extract_domain_udf
+
+
+@pandas_udf(HOST_PATH_SCHEMA)
+def host_path_udf(urls: pd.Series) -> pd.DataFrame:
+    """Frontier partition-key extractor: url -> (scheme://host, path).
+    NULL host marks incomplete URLs (reference raises ValueError,
+    /root/reference/courlan/urlutils.py:94-95)."""
+    hosts: list[str | None] = []
+    paths: list[str | None] = []
+    for url in urls:
+        try:
+            host, path = get_host_and_path(url)
+            hosts.append(host)
+            paths.append(path)
+        except (ValueError, TypeError, AttributeError):
+            hosts.append(None)
+            paths.append(None)
+    return pd.DataFrame({"host": hosts, "path": paths})
+
+
+def make_extract_links_udf(
+    external_bool: bool = False,
+    language: str | None = None,
+    strict: bool = True,
+    with_nav: bool = False,
+    trailing_slash: bool = True,
+    no_filter: bool = False,
+):
+    """Vectorized HTML link harvesting over (html, page_url) columns;
+    returns array<string> of checked links — explode() downstream."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def links_udf(htmls: pd.Series, urls: pd.Series) -> pd.Series:
+        out = []
+        for html, url in zip(htmls, urls):
+            if isinstance(html, (bytes, bytearray)):
+                html = html.decode("utf-8", errors="replace")
+            if not isinstance(html, str) or not html:
+                out.append([])
+                continue
+            links = extract_links(
+                html,
+                url=url if isinstance(url, str) else None,
+                external_bool=external_bool,
+                language=language,
+                strict=strict,
+                with_nav=with_nav,
+                trailing_slash=trailing_slash,
+                no_filter=no_filter,
+            )
+            out.append(sorted(links))
+        return pd.Series(out)
+
+    return links_udf

@@ -1,0 +1,317 @@
+"""Deduplication operators: exact (hash-agg), MinHash+LSH, SimHash,
+n-gram Jaccard brute force, and cluster assembly.
+
+All operators are declarative DataFrame compositions: aggregations
+are partial+final hash aggregations (map-side combine for free),
+joins are equi-joins that AQE can re-plan, and the only Python
+boundaries are the numpy fingerprint kernels in functions.hashing.
+
+Scale levers (north rule, /root/repo/BASELINE.json:6,14):
+* optional key salting for the exact-dedup aggregation when the key
+  distribution is hub-skewed;
+* LSH bucket-size caps with dropped-bucket accounting (no silent
+  truncation);
+* signature-estimate prefilter before the exact-Jaccard verify join
+  so the pair verification never rejoins full text for hopeless pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from .cc import connected_components
+
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Keep exactly one row per key (the minimum of order_cols),
+    annotated with the group's duplicate count.
+
+    The reducer is min(struct(order, row)) — partially aggregatable,
+    so executors combine map-side before the shuffle.  With
+    ``salt_partitions`` the aggregation runs in two phases
+    (key+salt, then key) to split hub keys across reducers.
+    """
+    ordering = F.struct(*[F.col(c) for c in order_cols], F.struct(*df.columns).alias("row"))
+
+    if salt_partitions:
+        salted = df.groupBy(
+            *key_cols,
+            F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_partitions)).alias(
+                "_salt"
+            ),
+        ).agg(F.min(ordering).alias("_best"), F.count("*").alias("_cnt"))
+        grouped = salted.groupBy(*key_cols).agg(
+            F.min("_best").alias("_best"), F.sum("_cnt").alias("n_copies")
+        )
+    else:
+        grouped = df.groupBy(*key_cols).agg(
+            F.min(ordering).alias("_best"), F.count("*").alias("n_copies")
+        )
+
+    return grouped.select(
+        F.col("_best.row.*"), F.col("n_copies")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = hashing.DEFAULT_NUM_PERM,
+    shingle_k: int = hashing.DEFAULT_SHINGLE_K,
+    seed: int = hashing.DEFAULT_SEED,
+) -> DataFrame:
+    "(id, signature array<long>) via the numpy MinHash kernel."
+    udf = hashing.make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = hashing.DEFAULT_BANDS,
+    max_bucket_size: int | None = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Banded LSH: signature -> band bucket keys -> bucket self-join.
+
+    Returns (pairs, dropped_buckets): pairs is distinct (doc_a, doc_b)
+    with doc_a < doc_b; dropped_buckets accounts for buckets over
+    ``max_bucket_size`` (hub boilerplate) that were excluded rather
+    than silently exploding the join quadratically.
+    """
+    band_udf = hashing.make_band_hash_udf(bands=bands)
+    buckets = signatures.select(
+        "doc_id", F.explode(band_udf("signature")).alias("band_key")
+    )
+
+    sizes = buckets.groupBy("band_key").agg(F.count("*").alias("bucket_size"))
+    if max_bucket_size is not None:
+        dropped = sizes.where(F.col("bucket_size") > max_bucket_size)
+        keep = sizes.where(
+            (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size)
+        )
+    else:
+        dropped = sizes.where(F.lit(False))
+        keep = sizes.where(F.col("bucket_size") > 1)
+
+    # prune singleton/oversized buckets before the self-join
+    pruned = buckets.join(keep.select("band_key"), "band_key")
+    left = pruned.select(F.col("band_key"), F.col("doc_id").alias("doc_a"))
+    right = pruned.select(F.col("band_key"), F.col("doc_id").alias("doc_b"))
+    pairs = (
+        left.join(right, "band_key")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return pairs, dropped
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    signatures: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    estimate_margin: float = 0.2,
+    shingle_k: int = hashing.DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs.
+
+    When signatures are supplied, a signature-agreement estimate
+    (fraction of equal permutation minima) prefilters pairs whose
+    estimate falls more than ``estimate_margin`` below the threshold,
+    so the expensive text rejoin only touches plausible pairs.
+    Returns (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold.
+    """
+    if signatures is not None:
+        est = (
+            pairs.join(
+                signatures.select(
+                    F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                signatures.select(
+                    F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "est_jaccard",
+                F.aggregate(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda a, b: (a == b).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.size("sig_a"),
+            )
+        )
+        pairs = est.where(
+            F.col("est_jaccard") >= F.lit(threshold - estimate_margin)
+        ).select("doc_a", "doc_b")
+
+    jaccard_udf = hashing.make_jaccard_udf(shingle_k=shingle_k)
+    texts = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    verified = (
+        pairs.join(
+            texts.select(F.col("_id").alias("doc_a"), F.col("_text").alias("text_a")),
+            "doc_a",
+        )
+        .join(
+            texts.select(F.col("_id").alias("doc_b"), F.col("_text").alias("text_b")),
+            "doc_b",
+        )
+        .withColumn("jaccard", jaccard_udf("text_a", "text_b"))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    "(doc_id, simhash long) via the numpy SimHash kernel."
+    udf = hashing.make_simhash_udf()
+    return docs.select(
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_candidate_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Fuzzy-duplicate candidates within `max_hamming` bits.
+
+    Pigeonhole bucketing: split 64 bits into max_hamming+1 blocks;
+    near-duplicates agree on at least one block, so a per-block
+    equi-join finds all of them without a cross join.  Pairs are
+    confirmed with an exact popcount on the XOR (native bit ops).
+    """
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    fp = fingerprints.select(
+        "doc_id",
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        + F.lit(i << (width + 1))
+                    ).alias(f"b{i}")
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("block_key"),
+    )
+    if max_bucket_size is not None:
+        sizes = fp.groupBy("block_key").agg(F.count("*").alias("sz"))
+        fp = fp.join(
+            sizes.where(F.col("sz") <= max_bucket_size).select("block_key"),
+            "block_key",
+        )
+    left = fp.select("block_key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    right = fp.select("block_key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    return (
+        left.join(right, "block_key")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("fp_a"), F.col("fp_b"))
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = hashing.DEFAULT_SHINGLE_K,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Brute-force n-gram Jaccard via shingle explode + self-join —
+    the exact ground truth the probabilistic paths are measured
+    against (and the DuckDB-oracle-checkable formulation).
+    Built entirely from native functions: sequence/transform/explode.
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.length(F.col(text_col)) - F.lit(shingle_k - 1), F.lit(1)
+                        ),
+                    ),
+                    lambda i: F.col(text_col).substr(i, F.lit(shingle_k)),
+                )
+            )
+        ).alias("shingle"),
+    )
+    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    joined = (
+        shingled.alias("a")
+        .join(shingled.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        joined.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def cluster_assignments(
+    docs: DataFrame,
+    verified_pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Assign every document a cluster id (= min doc id reachable via
+    verified duplicate pairs); documents without duplicates form
+    singleton clusters."""
+    components = connected_components(
+        verified_pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        max_iterations=max_iterations,
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(components.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("component", "doc_id"))
+        .select("doc_id", "cluster_id")
+    )

