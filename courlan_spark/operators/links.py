@@ -1,0 +1,84 @@
+"""Link-graph operators: pages -> filtered outlinks -> frontier feed.
+
+The distributed form of the reference ingest path
+(add_from_html -> filter_links -> add_urls,
+/root/reference/courlan/urlstore.py:315-336 and core.py:230-267):
+
+    pages --links-UDF--> explode --native nav/crawl filters-->
+    canonical-key anti-join against known links --> frontier rows
+
+Robots rules are a small per-host table broadcast into the filter
+join; the known-link dedup is the left-anti join on the canonical
+key under which all is_known_link variants collide (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.native import (
+    canonical_key_col,
+    is_navigation_col,
+    is_not_crawlable_col,
+)
+from ..functions.url_udfs import make_extract_links_udf
+
+
+def extract_page_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    language: str | None = None,
+    strict: bool = False,
+    with_nav: bool = True,
+    external: bool = False,
+) -> DataFrame:
+    """One row per (page_url, link), links already check_url-validated
+    inside the vectorized UDF."""
+    links_udf = make_extract_links_udf(
+        external_bool=external, language=language, strict=strict, with_nav=with_nav
+    )
+    return pages.select(
+        F.col(url_col).alias("page_url"),
+        F.explode(links_udf(F.col(html_col), F.col(url_col))).alias("link"),
+    )
+
+
+def crawlable_links(
+    links: DataFrame,
+    link_col: str = "link",
+    disallowed_prefixes: DataFrame | None = None,
+) -> DataFrame:
+    """filter_links tail (core.py:256-265): drop non-crawlable links,
+    apply per-host robots disallow prefixes (broadcast join), and
+    flag navigation links as crawl-priority."""
+    out = links.where(~is_not_crawlable_col(F.col(link_col)))
+    if disallowed_prefixes is not None:
+        # disallowed_prefixes(host string, prefix string): link blocked
+        # when it starts with host+prefix
+        rules = disallowed_prefixes.select(
+            F.concat("host", "prefix").alias("blocked_prefix")
+        )
+        out = out.join(
+            F.broadcast(rules),
+            F.col(link_col).startswith(F.col("blocked_prefix")),
+            "left_anti",
+        )
+    return out.withColumn(
+        "priority", is_navigation_col(F.col(link_col)).cast("int")
+    )
+
+
+def new_links_only(
+    links: DataFrame,
+    known: DataFrame,
+    link_col: str = "link",
+    known_url_col: str = "url",
+) -> DataFrame:
+    """Known-link dedup as a distributed anti-join: both sides reduce
+    to the canonical key (scheme-less, slash-less), exactly covering
+    the 4-variant membership test of is_known_link."""
+    keyed = links.withColumn("_ck", canonical_key_col(F.col(link_col)))
+    known_keys = known.select(canonical_key_col(F.col(known_url_col)).alias("_ck")).distinct()
+    return keyed.join(known_keys, "_ck", "left_anti").drop("_ck")

@@ -1,0 +1,170 @@
+"""Embedding similarity search: brute-force cosine top-k baseline and
+an LSH-bucketed (random hyperplane) scale path, plus embedding-cosine
+near-duplicate pairs.
+
+Brute force is the correctness baseline (and the DuckDB-orackeable
+formulation); the hyperplane-LSH variant is the 100 TB path: each
+vector lands in 2^p sign buckets per table, candidates meet only
+inside buckets, and the final scoring is exact cosine on the reduced
+candidate set.  Dot products run JVM-side via zip_with/aggregate —
+no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine_expr(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+    norm_a = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+    norm_b = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+    return dot / F.when(norm_a * norm_b == 0, F.lit(1.0)).otherwise(norm_a * norm_b)
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side against the
+    corpus, score natively, keep k per query with a window."""
+    corpus = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        "vec_id",
+        _cosine_expr(F.col("vec"), F.col("qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, planes, dim)).astype(np.float32)
+
+
+def make_hyperplane_bucket_udf(dim: int, planes: int = 12, tables: int = 4, seed: int = 42):
+    "vector -> array<long> of per-table sign-pattern bucket keys."
+    from pyspark.sql.functions import pandas_udf
+
+    hp = _hyperplanes(dim, planes, tables, seed)
+    weights = (1 << np.arange(planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def bucket_udf(vectors: pd.Series) -> pd.Series:
+        out = []
+        for vec in vectors:
+            v = np.asarray(vec, dtype=np.float32)
+            if v.size != dim:
+                out.append([])
+                continue
+            signs = (hp @ v > 0).astype(np.int64)  # (tables, planes)
+            keys = (signs * weights).sum(axis=1) + (
+                np.arange(len(signs), dtype=np.int64) << np.int64(planes + 1)
+            )
+            out.append(keys.tolist())
+        return pd.Series(out)
+
+    return bucket_udf
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 12,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane buckets restrict scoring to
+    colliding (query, vector) pairs; exact cosine re-ranks inside."""
+    bucket_udf = make_hyperplane_bucket_udf(dim, planes, tables, seed)
+    corpus = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(bucket_udf(F.col(vec_col))).alias("bucket"),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(bucket_udf(F.col(vec_col))).alias("bucket"),
+    )
+    candidates = corpus.join(probes, "bucket").dropDuplicates(
+        ["query_id", "vec_id"]
+    )
+    scored = candidates.select(
+        "query_id", "vec_id", _cosine_expr(F.col("vec"), F.col("qvec")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 10,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    "Cosine near-duplicate pairs via hyperplane buckets + exact rescore."
+    bucket_udf = make_hyperplane_bucket_udf(dim, planes, tables, seed)
+    bucketed = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(bucket_udf(F.col(vec_col))).alias("bucket"),
+    )
+    if max_bucket_size is not None:
+        sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("sz"))
+        bucketed = bucketed.join(
+            sizes.where(F.col("sz") <= max_bucket_size).select("bucket"), "bucket"
+        )
+    left = bucketed.select("bucket", F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    right = bucketed.select("bucket", F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", _cosine_expr(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

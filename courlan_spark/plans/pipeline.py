@@ -1,0 +1,229 @@
+"""End-to-end near-duplicate pipeline with snapshot checkpoints.
+
+    pages ──check_url UDF──> canonical urls
+          ──exact URL dedup (salted hash-agg)──> survivors
+          ──exact text dedup (md5 groups)──────> pair evidence
+          ──MinHash ─ LSH ─ Jaccard verify─────> pair evidence
+          ──SimHash (hamming ≤ 3)──────────────> pair evidence
+          ──winnowing + substring verify───────> pair evidence
+          ──connected components───────────────> cluster table
+
+Every stage materializes to a parquet snapshot under ``workdir`` and
+is skipped on resume when its `_SUCCESS` marker exists — the sandbox
+realization of Iceberg snapshot checkpoints (north rule; the writer
+is isolated in ``_write_snapshot`` so an Iceberg ``writeTo`` drops in
+unchanged).  Per-stage metrics (rows, seconds, partitions) are
+returned and appended to ``workdir/metrics.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.url_udfs import make_check_url_udf
+from ..operators import dedup, suffix
+
+
+@dataclass
+class DedupConfig:
+    strict: bool = False
+    language: str | None = None
+    num_perm: int = 128
+    shingle_k: int = 9
+    bands: int = 32
+    jaccard_threshold: float = 0.6
+    simhash_max_hamming: int = 3
+    substring_min_len: int = 63
+    max_bucket_size: int = 2000
+    salt_partitions: int | None = None
+    with_substring_stage: bool = True
+    with_simhash_stage: bool = True
+    seed: int = 42
+    extra: dict = field(default_factory=dict)
+
+
+def _snapshot_path(workdir: str, stage: str) -> str:
+    return os.path.join(workdir, stage)
+
+
+def _has_snapshot(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _write_snapshot(df: DataFrame, path: str) -> None:
+    # Iceberg-ready seam: replace with df.writeTo(table).createOrReplace()
+    df.write.mode("overwrite").parquet(path)
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, workdir: str, config: DedupConfig | None = None):
+        self.spark = spark
+        self.workdir = workdir
+        self.config = config or DedupConfig()
+        self.metrics: list[dict] = []
+        os.makedirs(workdir, exist_ok=True)
+
+    def _stage(self, name: str, build, resume: bool) -> DataFrame:
+        path = _snapshot_path(self.workdir, name)
+        started = time.time()
+        if resume and _has_snapshot(path):
+            df = self.spark.read.parquet(path)
+            self.metrics.append(
+                {"stage": name, "resumed": True, "secs": round(time.time() - started, 3)}
+            )
+            return df
+        df = build()
+        _write_snapshot(df, path)
+        out = self.spark.read.parquet(path)
+        n_rows = out.count()
+        self.metrics.append(
+            {
+                "stage": name,
+                "resumed": False,
+                "rows": n_rows,
+                "partitions": out.rdd.getNumPartitions(),
+                "secs": round(time.time() - started, 3),
+            }
+        )
+        return out
+
+    def run(self, pages: DataFrame, resume: bool = False) -> dict:
+        cfg = self.config
+
+        # ---- stage 1: URL canonicalization (vectorized check_url) ----
+        def build_canonical():
+            check_udf = make_check_url_udf(strict=cfg.strict, language=cfg.language)
+            return (
+                pages.withColumn("_chk", check_udf(F.col("url")))
+                .where(F.col("_chk.norm_url").isNotNull())
+                .select(
+                    F.xxhash64("url", "warc_ts").alias("doc_id"),
+                    F.col("url").alias("raw_url"),
+                    F.col("_chk.norm_url").alias("norm_url"),
+                    F.col("_chk.domain").alias("domain"),
+                    "warc_ts",
+                    "text",
+                    "lang",
+                )
+            )
+
+        canonical = self._stage("01_canonical", build_canonical, resume)
+
+        # ---- stage 2: exact URL dedup (earliest capture wins) ----
+        def build_url_dedup():
+            return dedup.exact_dedup(
+                canonical.select("doc_id", "norm_url", "domain", "warc_ts", "text", "lang"),
+                key_cols=["norm_url"],
+                order_cols=["warc_ts", "doc_id"],
+                salt_partitions=cfg.salt_partitions,
+            )
+
+        url_unique = self._stage("02_url_dedup", build_url_dedup, resume)
+
+        # ---- stage 3: exact text pair evidence (md5 hash groups) ----
+        def build_text_pairs():
+            hashed = url_unique.select(
+                "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("text_hash")
+            )
+            reps = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("rep"))
+            return (
+                hashed.join(reps, "text_hash")
+                .where(F.col("doc_id") != F.col("rep"))
+                .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+            )
+
+        text_pairs = self._stage("03_exact_text_pairs", build_text_pairs, resume)
+
+        # ---- stage 4: MinHash signatures + LSH + verify ----
+        def build_signatures():
+            return dedup.minhash_signatures(
+                url_unique,
+                num_perm=cfg.num_perm,
+                shingle_k=cfg.shingle_k,
+                seed=cfg.seed,
+            )
+
+        signatures = self._stage("04_signatures", build_signatures, resume)
+
+        def build_minhash_pairs():
+            candidates, dropped = dedup.lsh_candidate_pairs(
+                signatures, bands=cfg.bands, max_bucket_size=cfg.max_bucket_size
+            )
+            n_dropped = dropped.count()
+            if n_dropped:
+                self.metrics.append({"stage": "05_lsh", "dropped_buckets": n_dropped})
+            verified = dedup.verify_pairs_jaccard(
+                candidates,
+                url_unique,
+                signatures=signatures,
+                threshold=cfg.jaccard_threshold,
+                shingle_k=cfg.shingle_k,
+            )
+            return verified.select("doc_a", "doc_b")
+
+        minhash_pairs = self._stage("05_minhash_pairs", build_minhash_pairs, resume)
+
+        # ---- stage 5: SimHash fuzzy pairs ----
+        if cfg.with_simhash_stage:
+            def build_simhash_pairs():
+                fps = dedup.simhash_fingerprints(url_unique)
+                return dedup.simhash_candidate_pairs(
+                    fps,
+                    max_hamming=cfg.simhash_max_hamming,
+                    max_bucket_size=cfg.max_bucket_size,
+                ).select("doc_a", "doc_b")
+
+            simhash_pairs = self._stage("06_simhash_pairs", build_simhash_pairs, resume)
+        else:
+            simhash_pairs = None
+
+        # ---- stage 6: long-substring pairs (winnowing + verify) ----
+        if cfg.with_substring_stage:
+            def build_substring_pairs():
+                cands = suffix.substring_candidate_pairs(
+                    url_unique,
+                    max_bucket_size=cfg.max_bucket_size,
+                )
+                return suffix.verify_substring_pairs(
+                    cands, url_unique, min_length=cfg.substring_min_len
+                ).select("doc_a", "doc_b")
+
+            substr_pairs = self._stage("07_substring_pairs", build_substring_pairs, resume)
+        else:
+            substr_pairs = None
+
+        # ---- stage 7: clustering ----
+        def build_clusters():
+            evidence = text_pairs.unionByName(minhash_pairs)
+            if simhash_pairs is not None:
+                evidence = evidence.unionByName(simhash_pairs)
+            if substr_pairs is not None:
+                evidence = evidence.unionByName(substr_pairs)
+            return dedup.cluster_assignments(url_unique, evidence.distinct())
+
+        clusters = self._stage("08_clusters", build_clusters, resume)
+
+        # ---- final output: url -> cluster ----
+        def build_output():
+            return url_unique.join(clusters, "doc_id").select(
+                "doc_id", "norm_url", "domain", "cluster_id"
+            )
+
+        output = self._stage("09_assignments", build_output, resume)
+
+        summary = {
+            "stages": self.metrics,
+            "n_output": output.count(),
+        }
+        with open(os.path.join(self.workdir, "metrics.json"), "a") as fh:
+            fh.write(json.dumps(summary) + "\n")
+        return summary
+
+    def assignments(self) -> DataFrame:
+        return self.spark.read.parquet(_snapshot_path(self.workdir, "09_assignments"))
