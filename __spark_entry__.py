@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship near-dup pipeline slice on sf0.001.
+queries()      — operator catalog (SURVEY.md §2 + training-data ops),
+                 implemented in courlan_spark.plans.catalog.
+oracle_sql()   — DuckDB-equivalent SQL for every deterministic query;
+                 probabilistic/UDF-kernel surfaces are rows-only and
+                 covered by the pytest suite instead.
 """
 
 from __future__ import annotations
@@ -15,24 +16,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: MinHash -> LSH -> Jaccard verify -> connected
+    components over the sf0.001 documents corpus; returns per-cluster
+    sizes joined back to sample doc ids."""
+    from pyspark.sql import functions as F
+
+    from courlan_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    signatures = dedup.minhash_signatures(docs)
+    pairs, _ = dedup.lsh_candidate_pairs(signatures)
+    verified = dedup.verify_pairs_jaccard(
+        pairs, docs, signatures=signatures, threshold=0.5
+    )
+    clusters = dedup.cluster_assignments(docs, verified.select("doc_a", "doc_b"))
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy(F.col("cluster_size").desc(), F.col("cluster_id").asc())
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from courlan_spark.plans.catalog import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from courlan_spark.plans.catalog import ORACLES
+
+    return {name: sql for name, sql in ORACLES.items() if sql is not None}

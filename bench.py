@@ -1,0 +1,166 @@
+"""Benchmark harness: end-to-end dedup throughput + scaling efficiency
++ headline catalog queries.
+
+Prints ONE JSON line:
+  {"metric": "e2e_dedup_secs", "value": <pipeline seconds at high
+   parallelism>, "unit": "sec", "queries": {name: sec, ...},
+   "sf": <sf>, ...extra keys: docs_per_sec, scaling{low,high,
+   efficiency}, recall}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_PAGES (default 20000),
+     SPARK_GRAFT_BENCH_SCALING=0 to skip the low-parallelism rerun.
+
+The dedup corpus is generated deterministically (seed 42) and
+materialized to parquet before timing starts, so the measured time is
+engine work (scan -> UDFs -> joins -> CC -> snapshot writes), not
+corpus synthesis.  The scaling run executes the identical pipeline on
+the identical parquet input at cpus/4 — the sandbox proxy for the
+north rule's N vs 4N executors comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "30000"))
+WITH_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+# N vs 4N proxy: local[4] vs local[16].  The box advertises 32 CPUs
+# but a pure-CPU calibration (32 single-thread processes) delivers
+# only ~3.2x the throughput of 8 — the top half is SMT; 4->16 is the
+# largest pairing where the hardware itself can provide ~4x
+# (calibrated ~3.55x), so it is the honest scaling proxy.
+SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "4"))
+SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "16"))
+
+HEADLINE_QUERIES = [
+    "q_url_canonical_dedup",
+    "q_exact_text_dedup",
+    "q_domain_sample",
+    "q_frontier_next_urls",
+    "q_minhash_lsh_pairs",
+    "q_substring_pairs",
+    "q_embedding_neighbors",
+    "q_pricing_summary",
+]
+
+
+def _run_pipeline(cpus: int, corpus_path: str) -> dict:
+    from courlan_spark.plans.pipeline import DedupConfig, DedupPipeline
+    from courlan_spark.plans.session import get_session
+
+    spark = get_session(app_name=f"bench-{cpus}", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the Python UDF workers (imports) before timing
+    from pyspark.sql import functions as F
+
+    from courlan_spark.functions.url_udfs import make_check_url_udf
+
+    warm_udf = make_check_url_udf()
+    spark.range(0, cpus * 2, numPartitions=cpus).select(
+        warm_udf(F.lit("https://warm.example.com/x/1"))
+    ).write.format("noop").mode("overwrite").save()
+
+    pages = spark.read.parquet(corpus_path)
+    workdir = tempfile.mkdtemp(prefix=f"bench_pipe_{cpus}_")
+    try:
+        started = time.time()
+        pipeline = DedupPipeline(
+            spark,
+            workdir,
+            DedupConfig(jaccard_threshold=0.6, snapshot_mode="minimal"),
+            count_rows=False,
+        )
+        pipeline.run(pages.select("url", "warc_ts", "html", "text", "lang"))
+        elapsed = time.time() - started
+
+        from courlan_spark.plans.evaluate import dup_pair_recall
+
+        recall = dup_pair_recall(
+            pages.select("doc_id", "url", "cluster_id", "dup_kind"),
+            pipeline.assignments(),
+        )
+        return {
+            "secs": round(elapsed, 2),
+            "docs_per_sec": round(N_PAGES / elapsed, 1),
+            "recall": round(recall["recall"], 4),
+            "stages": pipeline.metrics,
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from courlan_spark.plans.session import get_session
+    from courlan_spark.sources.pages import generate_pages
+
+    # --- corpus materialization (untimed) ---
+    corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+    corpus_path = os.path.join(corpus_dir, "pages")
+    spark = get_session(app_name="bench-gen", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_pages(spark, N_PAGES).write.mode("overwrite").parquet(corpus_path)
+
+    # --- headline catalog queries (same session) ---
+    from courlan_spark.plans.catalog import QUERIES
+
+    query_secs: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = QUERIES[name]
+        started = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        query_secs[name] = round(time.time() - started, 2)
+    spark.stop()
+
+    try:
+        # --- pipeline at high parallelism (the headline number) ---
+        high = _run_pipeline(SCALE_HIGH if WITH_SCALING else CPUS, corpus_path)
+
+        scaling = None
+        if WITH_SCALING:
+            low = _run_pipeline(SCALE_LOW, corpus_path)
+            scaling = {
+                "cpus_low": SCALE_LOW,
+                "cpus_high": SCALE_HIGH,
+                "secs_low": low["secs"],
+                "secs_high": high["secs"],
+                "docs_per_sec_low": low["docs_per_sec"],
+                "docs_per_sec_high": high["docs_per_sec"],
+                "efficiency": round(
+                    (high["docs_per_sec"] / low["docs_per_sec"])
+                    / (SCALE_HIGH / SCALE_LOW),
+                    3,
+                ),
+            }
+
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        result = {
+            "metric": "e2e_dedup_secs",
+            "value": high["secs"],
+            "unit": "sec",
+            "queries": query_secs,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "pages": N_PAGES,
+            "docs_per_sec": high["docs_per_sec"],
+            "recall": high["recall"],
+            "scaling": scaling,
+        }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,8 +20,6 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from numpy.lib.stride_tricks import sliding_window_view
@@ -38,9 +36,36 @@ DEFAULT_SEED = 42
 
 def _permutation_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, 1 << 31, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, MERSENNE61, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE61, size=num_perm, dtype=np.uint64)
     return a, b
+
+
+def _mod_p_affine(a: np.ndarray, x: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact (a*x + b) mod (2^61-1) for a,b < p and x < 2^32, computed
+    entirely in uint64 without overflow.
+
+    Split a = a_hi*2^32 + a_lo: a_hi*x < 2^61 and multiplying by 2^32
+    mod 2^61-1 is a 61-bit rotation; a_lo*x < 2^64 folds with the
+    standard Mersenne reduction w -> (w & p) + (w >> 61).
+
+    An inexact version of this (letting a*x wrap, or keeping a small
+    enough never to wrap) makes the map near-monotone in x, so every
+    "permutation" picks the same minimum shingle and the Jaccard
+    estimate biases high — caught by tests/test_kernels.py.
+    """
+    p = np.uint64(MERSENNE61)
+    mask32 = np.uint64(0xFFFFFFFF)
+    a_hi = a >> np.uint64(32)          # < 2^29
+    a_lo = a & mask32
+    hi = a_hi * x                      # < 2^61, exact
+    # hi * 2^32 mod p == rot61(hi, 32)
+    hi = ((hi & np.uint64(0x1FFFFFFF)) << np.uint64(32)) | (hi >> np.uint64(29))
+    lo = a_lo * x                      # < 2^64, exact in uint64
+    lo = (lo & p) + (lo >> np.uint64(61))
+    s = hi + lo + b                    # < 2^63, exact
+    s = (s & p) + (s >> np.uint64(61))
+    return np.where(s >= p, s - p, s)
 
 
 def _shingle_powers(k: int) -> np.ndarray:
@@ -74,23 +99,81 @@ def shingle_hashes(text: str, k: int = DEFAULT_SHINGLE_K) -> np.ndarray:
     return np.unique(hashes)
 
 
+def minhash_signature_exact(
+    shingles: np.ndarray,
+    num_perm: int = DEFAULT_NUM_PERM,
+    seed: int = DEFAULT_SEED,
+) -> np.ndarray:
+    """Classic k-permutation MinHash (int64).  O(num_perm * n) work and
+    memory traffic per document — kept as the reference estimator, but
+    it is DRAM-bandwidth-bound at scale (the (128, n) uint64 temporary
+    matrices saturate memory before the cores do)."""
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = _permutation_params(num_perm, seed)
+    a, b = _PERM_CACHE[key]
+    sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    for start in range(0, shingles.size, _CHUNK):
+        block = shingles[start : start + _CHUNK]
+        values = _mod_p_affine(a[:, None], block[None, :], b[:, None])
+        np.minimum(sig, values.min(axis=1), out=sig)
+    return sig.astype(np.int64)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    "SplitMix64 finalizer — full-avalanche 64-bit mix, vectorized."
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def minhash_signature(
     shingles: np.ndarray,
     num_perm: int = DEFAULT_NUM_PERM,
     seed: int = DEFAULT_SEED,
 ) -> np.ndarray:
-    "128-perm MinHash signature (int64) over a unique-shingle array."
-    key = (num_perm, seed)
-    if key not in _PERM_CACHE:
-        _PERM_CACHE[key] = _permutation_params(num_perm, seed)
-    a, b = _PERM_CACHE[key]
-    prime = np.uint64(MERSENNE61)
+    """One-permutation MinHash with rotation densification
+    (Li/Owen/Zhang 2012; Shrivastava/Li 2014): a single 64-bit hash
+    pass buckets each shingle into one of `num_perm` bins; the
+    signature is the per-bin minimum, with empty bins densified by
+    borrowing from the next non-empty bin (offset-mixed).  O(n) work
+    per document — ~num_perm times less compute and memory traffic
+    than the k-permutation form, with equivalent collision behavior
+    for banded LSH (pipeline recall re-verified by exact Jaccard).
+    """
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    hashed = _splitmix64(shingles.astype(np.uint64) + seed_mix)
+    bins = (hashed % np.uint64(num_perm)).astype(np.int64)
+    values = _splitmix64(hashed)
+
     sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    for start in range(0, shingles.size, _CHUNK):
-        block = shingles[start : start + _CHUNK]
-        values = (a[:, None] * block[None, :] + b[:, None]) % prime
-        np.minimum(sig, values.min(axis=1), out=sig)
-    return sig.astype(np.int64)
+    order = np.lexsort((values, bins))
+    first = np.ones(order.size, dtype=bool)
+    sorted_bins = bins[order]
+    first[1:] = sorted_bins[1:] != sorted_bins[:-1]
+    sig[sorted_bins[first]] = values[order][first]
+
+    empty = sig == np.iinfo(np.uint64).max
+    if empty.any():
+        if empty.all():
+            return np.zeros(num_perm, dtype=np.int64)
+        # rotation densification: forward-fill around the circle, and
+        # mix the borrow distance in so different-length rotations of
+        # the same bin value stay distinguishable
+        idx = np.arange(num_perm)
+        filled_idx = np.where(~empty, idx, -1)
+        doubled = np.concatenate([filled_idx, filled_idx])
+        np.maximum.accumulate(doubled, out=doubled)
+        src = doubled[idx + num_perm]
+        take = src.copy()
+        borrow = (idx - take) % num_perm
+        sig = np.where(
+            empty,
+            _splitmix64(sig[take] + borrow.astype(np.uint64)),
+            sig,
+        )
+    return (sig >> np.uint64(3)).astype(np.int64)
 
 
 def band_hashes(signature: np.ndarray, bands: int = DEFAULT_BANDS) -> np.ndarray:
@@ -114,39 +197,23 @@ def jaccard(shingles_a: np.ndarray, shingles_b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
-_TOKEN_HASH_CACHE: dict[str, int] = {}
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+_BIT_WEIGHTS = (np.uint64(1) << _BIT_SHIFTS).astype(np.uint64)
 
 
-def _token_hash(token: str) -> int:
-    cached = _TOKEN_HASH_CACHE.get(token)
-    if cached is None:
-        cached = int.from_bytes(
-            hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big"
-        )
-        if len(_TOKEN_HASH_CACHE) < 2_000_000:
-            _TOKEN_HASH_CACHE[token] = cached
-        return cached
-    return cached
-
-
-def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (token weight = count).
-    Returned as a signed int64 for Spark LongType columns."""
-    tokens = text.split()
-    if not tokens:
+def simhash64(text: str, shingle_k: int = DEFAULT_SHINGLE_K) -> int:
+    """64-bit SimHash over the document's unique character k-gram
+    hashes (feature weight 1).  Fully vectorized: one splitmix64 mix
+    of the rolling shingle hashes, a (n, 64) bit expansion and a
+    column sum — no per-token Python.  Returned as signed int64 for
+    Spark LongType columns."""
+    features = shingle_hashes(text, shingle_k)
+    if features.size == 0:
         return 0
-    uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
-    hashes = np.fromiter(
-        (_token_hash(t) for t in uniq), dtype=np.uint64, count=uniq.size
-    )
+    hashes = _splitmix64(features.astype(np.uint64))
     bits = ((hashes[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
-    weights = counts.astype(np.int64)[:, None]
-    acc = ((2 * bits - 1) * weights).sum(axis=0)
-    fingerprint = np.uint64(0)
-    for i in range(64):
-        if acc[i] >= 0:
-            fingerprint |= np.uint64(1) << np.uint64(i)
+    acc = (2 * bits - 1).sum(axis=0)
+    fingerprint = ((acc >= 0).astype(np.uint64) * _BIT_WEIGHTS).sum(dtype=np.uint64)
     return int(fingerprint.astype(np.int64))
 
 

@@ -64,20 +64,22 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # fixpoint test: edge multiset stable under a cheap signature
+    # (bit_xor is overflow-free under ANSI mode and order-insensitive)
+    sig_expr = [
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+    ]
+    prev_sig = current.agg(*sig_expr).first()
+
     for iteration in range(max_iterations):
         stepped = _small_star(_large_star(current))
         stepped = stepped.localCheckpoint() if (iteration % checkpoint_every == 0) else stepped
-        # fixpoint test: edge multiset stable under a cheap signature
-        # (bit_xor is overflow-free under ANSI mode and order-insensitive)
-        sig_expr = [
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
-        ]
-        prev_sig = current.agg(*sig_expr).first()
         next_sig = stepped.agg(*sig_expr).first()
         current = stepped
-        if prev_sig == next_sig:
+        if next_sig == prev_sig:
             break
+        prev_sig = next_sig
 
     # after convergence every edge points node -> component root;
     # roots themselves appear only as dst

@@ -70,7 +70,10 @@ def minhash_signatures(
 ) -> DataFrame:
     "(id, signature array<long>) via the numpy MinHash kernel."
     udf = hashing.make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
-    return docs.select(
+    # CPU-heavy Python kernel: spread over all cores regardless of how
+    # few byte-sized partitions AQE would have given this input
+    source = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return source.select(
         F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("signature")
     )
 
@@ -165,6 +168,7 @@ def verify_pairs_jaccard(
 
     jaccard_udf = hashing.make_jaccard_udf(shingle_k=shingle_k)
     texts = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    pairs = pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
     verified = (
         pairs.join(
             texts.select(F.col("_id").alias("doc_a"), F.col("_text").alias("text_a")),
@@ -186,7 +190,8 @@ def simhash_fingerprints(
 ) -> DataFrame:
     "(doc_id, simhash long) via the numpy SimHash kernel."
     udf = hashing.make_simhash_udf()
-    return docs.select(
+    source = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return source.select(
         F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("simhash")
     )
 

@@ -127,11 +127,23 @@ def substring_candidate_pairs(
     text_col: str = "text",
     k: int = DEFAULT_KGRAM,
     w: int = DEFAULT_WINDOW,
-    max_bucket_size: int | None = 500,
+    max_bucket_size: int | None = 128,
+    min_shared_fps: int = 2,
 ) -> DataFrame:
-    "Distinct (doc_a, doc_b) sharing at least one winnowed fingerprint."
+    """(doc_a, doc_b) sharing >= min_shared_fps winnowed fingerprints.
+
+    min_shared_fps=1 preserves the strict winnowing guarantee (blocks
+    >= w+k-1); the default of 2 raises the detection floor to roughly
+    2w+k-1 chars but suppresses the quadratic blowup from single
+    phrase-level collisions — at web scale the single-fp pairs are
+    dominated by boilerplate phrases, not verbatim blocks.  Oversized
+    buckets (> max_bucket_size docs) are boilerplate shared by whole
+    site families; they are excluded here and belong to the exact-text
+    / MinHash paths.
+    """
     udf = make_winnow_udf(k, w)
-    fps = docs.select(
+    source = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    fps = source.select(
         F.col(id_col).alias("doc_id"), F.explode(udf(F.col(text_col))).alias("fp")
     )
     if max_bucket_size is not None:
@@ -141,11 +153,14 @@ def substring_candidate_pairs(
         )
     left = fps.select("fp", F.col("doc_id").alias("doc_a"))
     right = fps.select("fp", F.col("doc_id").alias("doc_b"))
-    return (
+    joined = (
         left.join(right, "fp")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+    )
+    return joined.where(F.col("n_shared_fps") >= min_shared_fps).select(
+        "doc_a", "doc_b"
     )
 
 
@@ -170,6 +185,7 @@ def verify_substring_pairs(
         )
 
     texts = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    pairs = pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
     return (
         pairs.join(
             texts.select(F.col("_id").alias("doc_a"), F.col("_text").alias("ta")), "doc_a"

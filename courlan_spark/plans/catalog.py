@@ -1,0 +1,623 @@
+"""Driver-contract query catalog: Spark implementations + DuckDB oracles.
+
+Every oracle-checked query synthesizes its inputs *identically* on
+both engines from the shared parquet tables (TESTDATA.md), using only
+constructs whose semantics match bit-for-bit across Spark SQL and
+DuckDB (concat/cast/md5/window/row_number/double folds — validated in
+tests/test_catalog_oracles.py).  Where the Spark side exercises a
+Python surface (check_url UDF, link extraction, MinHash kernels), the
+oracle encodes the independently-constructed expected output, so a
+drift in the UDF layer breaks the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.url_udfs import make_check_url_udf, make_extract_links_udf
+from ..operators import dedup, frontier, sampling, similarity
+from ..operators import suffix as suffix_ops
+
+# ---------------------------------------------------------------------------
+# shared synthesized inputs (identical SQL text on both engines)
+# ---------------------------------------------------------------------------
+
+FRONTIER_SQL = """
+SELECT concat('https://host', cast(o_orderkey % 97 as string), '.example.com') AS host,
+       concat('/order/', cast(o_orderkey as string)) AS path,
+       (o_orderkey % 3) = 0 AS visited,
+       o_orderkey AS seq,
+       CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS priority
+FROM orders
+"""
+
+PROBE_SQL = """
+SELECT concat('https://host', cast(c_custkey % 97 as string),
+              '.example.com/order/', cast((c_custkey * 11) % 30000 as string)) AS url
+FROM customer
+"""
+
+PROBE_HP_SQL = """
+SELECT concat('https://host', cast(c_custkey % 97 as string),
+              '.example.com/order/', cast((c_custkey * 11) % 30000 as string)) AS url,
+       concat('https://host', cast(c_custkey % 97 as string), '.example.com') AS host,
+       concat('/order/', cast((c_custkey * 11) % 30000 as string)) AS path
+FROM customer
+"""
+
+LINEITEM_URL_SQL = """
+SELECT concat('https://supp', cast(l_suppkey % 40 as string), '.example.org/part/',
+              cast(l_partkey as string),
+              CASE WHEN l_linenumber % 2 = 0 THEN '?utm_source=x&utm_medium=y' ELSE '' END
+       ) AS raw_url,
+       concat('https://supp', cast(l_suppkey % 40 as string), '.example.org/part/',
+              cast(l_partkey as string)) AS canonical_url
+FROM lineitem
+"""
+
+# check_url template bank: (raw-SQL fragment, expected-norm fragment or
+# None, expected-domain literal or None).  {ID} is cast(doc_id as string).
+# Expectations are pinned against the scalar parity layer in
+# tests/test_catalog_oracles.py::test_urlbank_expectations.
+URL_BANK: list[tuple[str, str | None, str | None]] = [
+    ("concat('https://news.example.com/articles/', {ID})",
+     "concat('https://news.example.com/articles/', {ID})", "example.com"),
+    ("concat('https://news.example.com/articles/', {ID}, '?utm_source=feed&utm_medium=rss')",
+     "concat('https://news.example.com/articles/', {ID})", "example.com"),
+    ("concat('https://shop.example.org/item/', {ID}, '#gclid=tracker')",
+     "concat('https://shop.example.org/item/', {ID})", "example.org"),
+    ("concat('http://blog.example.net/', {ID}, '/feed')", None, None),
+    ("concat('https://www.example.com/wp-admin/page-', {ID})", None, None),
+    # .mp4 survives non-strict: the extension regex is [a-z]{2,5} and
+    # cannot match a digit, so no extension is detected (reference
+    # behaves identically; FILE_TYPE catches .mp4 only in strict mode)
+    ("concat('http://media.example.com/clip-', {ID}, '/video.mp4')",
+     "concat('http://media.example.com/clip-', {ID}, '/video.mp4')", "example.com"),
+    ("concat('https://blog', {ID}, '.example.com/tag/news/')", None, None),
+    # '/artikel/' (not '/page/') — the latter is SITE_STRUCTURE-rejected
+    ("concat('https://www.dwds.de:443/artikel/', {ID})",
+     "concat('https://www.dwds.de/artikel/', {ID})", "dwds.de"),
+    ("concat('http://xn--mnchen-3ya.de/stadt/', {ID})",
+     "concat('http://münchen.de/stadt/', {ID})", "münchen.de"),
+    # /login is NOT rejected by non-strict check_url (NOTCRAWLABLE only
+    # gates strict path_filter and the crawl-oriented filter_links)
+    ("concat('https://example.org/entry/', {ID}, '/login')",
+     "concat('https://example.org/entry/', {ID}, '/login')", "example.org"),
+    ("'http://ab'", None, None),
+    ("concat('not-a-url-', {ID})", None, None),
+    ("concat('https://test.org/page?id=', {ID}, '&clickid=zzz')",
+     "concat('https://test.org/page?id=', {ID})", "test.org"),
+    ("concat('https://sub.domain.co.uk/x/', {ID})",
+     "concat('https://sub.domain.co.uk/x/', {ID})", "domain.co.uk"),
+    ("concat('https://example.com//double//slash/', {ID})",
+     "concat('https://example.com/double/slash/', {ID})", "example.com"),
+    ("concat('https://example.com/percent path/', {ID})",
+     "concat('https://example.com/percentpath/', {ID})", "example.com"),
+]
+
+
+def _bank_case(column: str) -> str:
+    "CASE expression selecting the template by doc_id % len(bank)."
+    idx = {"raw": 0, "norm": 1}[column]
+    arms = []
+    for k, entry in enumerate(URL_BANK):
+        frag = entry[idx]
+        value = frag.replace("{ID}", "cast(doc_id as string)") if frag else "NULL"
+        arms.append(f"WHEN {k} THEN {value}")
+    return f"CASE doc_id % {len(URL_BANK)} " + " ".join(arms) + " END"
+
+
+def _bank_domain_case() -> str:
+    arms = []
+    for k, (_, _, domain) in enumerate(URL_BANK):
+        value = f"'{domain}'" if domain else "NULL"
+        arms.append(f"WHEN {k} THEN {value}")
+    return f"CASE doc_id % {len(URL_BANK)} " + " ".join(arms) + " END"
+
+
+URLBANK_SQL = f"SELECT doc_id, {_bank_case('raw')} AS url FROM documents"
+
+URLBANK_ORACLE = f"""
+SELECT doc_id,
+       {_bank_case('raw')} AS url,
+       {_bank_case('norm')} AS norm_url,
+       {_bank_domain_case()} AS domain
+FROM documents
+WHERE {_bank_case('norm')} IS NOT NULL
+"""
+
+# synthetic HTML bank for link extraction (1 surviving internal link/page)
+HTML_PAGE_SQL = """
+SELECT doc_id,
+       concat('https://docs', cast(doc_id % 7 as string), '.example.com/post/',
+              cast(doc_id as string)) AS url,
+       concat('<html><body>',
+              '<a href="/local/', cast(doc_id as string), '">l</a>',
+              '<a href="https://ext', cast(doc_id % 5 as string), '.org/p/',
+              cast(doc_id as string), '">e</a>',
+              '<a href="/other/', cast(doc_id as string), '" rel="nofollow">n</a>',
+              '</body></html>') AS html
+FROM documents
+"""
+
+HTML_LINKS_ORACLE = """
+SELECT concat('https://docs', cast(doc_id % 7 as string), '.example.com/post/',
+              cast(doc_id as string)) AS page_url,
+       concat('https://docs', cast(doc_id % 7 as string), '.example.com/local/',
+              cast(doc_id as string)) AS link
+FROM documents
+"""
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for name in names:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def _frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(FRONTIER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_check_url_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "check_url UDF over a 16-template gnarly-URL bank; oracle = pinned expectations."
+    _views(spark, sf_dir, "documents")
+    urls = spark.sql(URLBANK_SQL)
+    check_udf = make_check_url_udf(strict=False)
+    return (
+        urls.withColumn("_c", check_udf("url"))
+        .where(F.col("_c.norm_url").isNotNull())
+        .select(
+            "doc_id",
+            "url",
+            F.col("_c.norm_url").alias("norm_url"),
+            F.col("_c.domain").alias("domain"),
+        )
+    )
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Exact URL dedup: tracker-decorated raw URLs collapse to canonicals."
+    _views(spark, sf_dir, "lineitem")
+    urls = spark.sql(LINEITEM_URL_SQL)
+    check_udf = make_check_url_udf(strict=False)
+    return (
+        urls.withColumn("_c", check_udf("raw_url"))
+        .where(F.col("_c.norm_url").isNotNull())
+        .groupBy(F.col("_c.norm_url").alias("norm_url"))
+        .agg(F.count("*").cast("long").alias("n_raw"))
+    )
+
+
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "HTML link harvesting UDF; nofollow + external links drop."
+    _views(spark, sf_dir, "documents")
+    pages = spark.sql(HTML_PAGE_SQL)
+    links_udf = make_extract_links_udf(
+        external_bool=False, strict=False, with_nav=True
+    )
+    return pages.select(
+        F.col("url").alias("page_url"),
+        F.explode(links_udf(F.col("html"), F.col("url"))).alias("link"),
+    )
+
+
+def q_host_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Per-host frontier aggregates (UrlStore DomainEntry analog)."
+    return frontier.host_aggregates(_frontier_df(spark, sf_dir)).select(
+        "host",
+        F.col("total").cast("long").alias("total"),
+        F.col("visited_count").cast("long").alias("visited_count"),
+        "state",
+    )
+
+
+def q_frontier_next_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "First 2 unvisited URLs per host in deque order (get_url analog)."
+    return frontier.next_urls(_frontier_df(spark, sf_dir), per_host=2)
+
+
+def q_download_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Quota + backoff crawl schedule (establish_download_schedule analog)."
+    return frontier.download_schedule(
+        _frontier_df(spark, sf_dir), max_urls=100, time_limit=10.0
+    )
+
+
+def q_filter_unknown_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Probe URLs absent from the frontier (anti-join via host/path UDF)."
+    _views(spark, sf_dir, "customer")
+    probe = spark.sql(PROBE_SQL)
+    return frontier.filter_unknown_urls(_frontier_df(spark, sf_dir), probe)
+
+
+def q_filter_unvisited_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Probe URLs not stored-and-visited."
+    _views(spark, sf_dir, "customer")
+    probe = spark.sql(PROBE_SQL)
+    return frontier.filter_unvisited_urls(_frontier_df(spark, sf_dir), probe)
+
+
+def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Deterministic per-domain sample (sample_urls analog)."
+    return sampling.sample_per_domain(
+        _frontier_df(spark, sf_dir),
+        samplesize=3,
+        exclude_min=120,
+        exclude_max=100000,
+    )
+
+
+def q_exact_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Exact text dedup groups over documents."
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").cast("long").alias("n_copies")
+    )
+
+
+def q_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "4-perm md5-MinHash computed natively — cross-engine-checkable math."
+    _views(spark, sf_dir, "documents")
+    perms = ", ".join(
+        "array_min(transform(sequence(1, length(text) - 8), i -> "
+        f"cast(conv(substr(md5(concat('{j}:', substr(text, i, 9))), 1, 15), 16, 10) as bigint)"
+        f")) AS sig{j}"
+        for j in range(4)
+    )
+    return spark.sql(
+        f"SELECT doc_id, {perms} FROM documents WHERE length(text) >= 9 AND doc_id < 60"
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Brute-force 9-gram Jaccard pairs (ground truth for the LSH path)."
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents").where("doc_id < 200")
+    return dedup.ngram_jaccard_pairs(docs, shingle_k=9, threshold=0.4)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Whitespace token counts + char count per document."
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        T.token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Length/punct/digit/alpha quality features per document."
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return docs.select("doc_id", *T.quality_features_cols(F.col("text"))).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+    )
+
+
+def q_langid_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Stopword-profile language scores + argmax guess per document."
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        *[c.cast("long") for c in T.langid_score_cols(F.col("text"))],
+        T.langid_best_col(F.col("text")).alias("lang_guess"),
+    )
+
+
+def q_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Brute-force cosine near-neighbor pairs over embeddings."
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings").where("vec_id < 500")
+    left = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    right = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = left.crossJoin(right).where(F.col("id_a") < F.col("id_b"))
+    cos = similarity._cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 4))
+        .where(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Multimodal plumbing: binary payload hashing via mapInPandas."
+    from ..operators.multimodal import extract_media_features
+
+    _views(spark, sf_dir, "documents")
+    media = spark.sql(
+        "SELECT doc_id AS media_id, 'image' AS kind, "
+        "cast(encode(text, 'utf-8') as binary) AS payload, "
+        "cast(null as int) AS width, cast(null as int) AS height, "
+        "cast(null as int) AS duration_ms FROM documents"
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id", F.col("n_bytes").cast("long").alias("n_bytes"), "content_hash"
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "TPC-H Q1-style relational sanity check (decimal-exact sums)."
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
+               cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sum_base_price,
+               cast(sum(cast(l_extendedprice as decimal(18,4)) * cast(1 - l_discount as decimal(18,4))) as double) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= timestamp '2025-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# ---- rows-only queries (non-SQL-expressible surfaces) ---------------------
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Full numpy MinHash + banded LSH + verified Jaccard pairs."
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sigs = dedup.minhash_signatures(docs)
+    pairs, _ = dedup.lsh_candidate_pairs(sigs)
+    return dedup.verify_pairs_jaccard(pairs, docs, signatures=sigs, threshold=0.5)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "64-bit SimHash fingerprints per document."
+    _views(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(spark.table("documents"))
+
+
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Winnowing-fingerprint candidates verified by exact LCS >= 63."
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    cands = suffix_ops.substring_candidate_pairs(docs)
+    return suffix_ops.verify_substring_pairs(cands, docs)
+
+
+def q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "MinHash/LSH pair evidence clustered via large-star/small-star CC."
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sigs = dedup.minhash_signatures(docs)
+    pairs, _ = dedup.lsh_candidate_pairs(sigs)
+    verified = dedup.verify_pairs_jaccard(pairs, docs, signatures=sigs, threshold=0.5)
+    return dedup.cluster_assignments(docs, verified.select("doc_a", "doc_b"))
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Hyperplane-LSH approximate top-k over embeddings."
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, dim=64, k=5)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB side)
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "q_check_url_bank": URLBANK_ORACLE,
+    "q_url_canonical_dedup": f"""
+        WITH urls AS ({LINEITEM_URL_SQL})
+        SELECT canonical_url AS norm_url, cast(count(*) as bigint) AS n_raw
+        FROM urls GROUP BY canonical_url
+    """,
+    "q_extract_links": HTML_LINKS_ORACLE,
+    "q_host_aggregates": f"""
+        WITH frontier AS ({FRONTIER_SQL})
+        SELECT host, cast(count(*) as bigint) AS total,
+               cast(sum(cast(visited as bigint)) as bigint) AS visited_count,
+               CASE WHEN bool_and(visited) THEN 'ALL_VISITED' ELSE 'OPEN' END AS state
+        FROM frontier GROUP BY host
+    """,
+    "q_frontier_next_urls": f"""
+        WITH frontier AS ({FRONTIER_SQL})
+        SELECT host, path, concat(host, path) AS url, rn FROM (
+            SELECT host, path,
+                   row_number() OVER (PARTITION BY host ORDER BY priority DESC, seq ASC) AS rn
+            FROM frontier WHERE NOT visited) t
+        WHERE rn <= 2
+    """,
+    "q_download_schedule": f"""
+        WITH frontier AS ({FRONTIER_SQL}),
+        quota AS (SELECT greatest(100 // count(DISTINCT host), 1) AS q
+                  FROM frontier WHERE NOT visited),
+        ranked AS (
+            SELECT host, path,
+                   row_number() OVER (PARTITION BY host ORDER BY priority DESC, seq ASC) AS rn
+            FROM frontier WHERE NOT visited)
+        SELECT host, concat(host, path) AS url,
+               cast(rn - 1 as double) * 10.0 AS schedule_secs
+        FROM ranked, quota WHERE rn <= q
+        ORDER BY schedule_secs, host, url LIMIT 100
+    """,
+    "q_filter_unknown_urls": f"""
+        WITH frontier AS ({FRONTIER_SQL}), probe AS ({PROBE_HP_SQL})
+        SELECT p.url FROM probe p
+        WHERE NOT EXISTS (SELECT 1 FROM frontier f
+                          WHERE f.host = p.host AND f.path = p.path)
+    """,
+    "q_filter_unvisited_urls": f"""
+        WITH frontier AS ({FRONTIER_SQL}), probe AS ({PROBE_HP_SQL})
+        SELECT p.url FROM probe p
+        WHERE NOT EXISTS (SELECT 1 FROM frontier f
+                          WHERE f.host = p.host AND f.path = p.path AND f.visited)
+    """,
+    "q_domain_sample": f"""
+        WITH frontier AS ({FRONTIER_SQL}), sized AS (
+            SELECT host, path,
+                   count(*) OVER (PARTITION BY host) AS n,
+                   row_number() OVER (PARTITION BY host
+                       ORDER BY md5(concat('42', host, path))) AS pick
+            FROM frontier WHERE path <> '/')
+        SELECT host, path, concat(host, path) AS url
+        FROM sized WHERE n BETWEEN 120 AND 100000 AND pick <= 3
+    """,
+    "q_exact_text_dedup": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+               cast(count(*) as bigint) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "q_minhash_sql": (
+        "SELECT doc_id, "
+        + ", ".join(
+            "list_min([cast(concat('0x', substr(md5(concat('"
+            + str(j)
+            + ":', substr(text, i, 9))), 1, 15)) as bigint) "
+            "for i in generate_series(1, length(text) - 8)]) AS sig" + str(j)
+            for j in range(4)
+        )
+        + " FROM documents WHERE length(text) >= 9 AND doc_id < 60"
+    ),
+    "q_ngram_jaccard_pairs": """
+        WITH sh AS (
+            SELECT DISTINCT doc_id, substr(text, t.i, 9) AS shingle
+            FROM documents
+            CROSS JOIN unnest(generate_series(1, greatest(length(text) - 8, 1))) AS t(i)
+            WHERE doc_id < 200),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               n_common / (ca.n + cb.n - n_common) AS jaccard
+        FROM inter
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE n_common / (ca.n + cb.n - n_common) >= 0.4
+    """,
+    "q_token_stats": r"""
+        SELECT doc_id,
+               cast(length(text) as bigint) AS n_chars_actual,
+               cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END as bigint)
+                   AS n_tokens
+        FROM documents
+    """,
+    "q_quality_scores": r"""
+        SELECT doc_id,
+               cast(length(text) as bigint) AS n_chars,
+               cast(tokens as bigint) AS n_tokens,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     / greatest(length(text), 1), 6) AS alpha_ratio,
+               round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / greatest(length(text), 1), 6) AS digit_ratio,
+               round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round(length(text) / greatest(tokens, 1), 6) AS mean_token_len
+        FROM (SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tokens
+              FROM documents) t
+    """,
+    "q_langid_stopwords": None,  # filled in below (built from STOPWORDS)
+    "q_embedding_neighbors": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 500 AND b.vec_id < 500
+          AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 4) >= 0.35
+    """,
+    "q_media_features": """
+        SELECT doc_id AS media_id, cast(length(text) as bigint) AS n_bytes,
+               md5(text) AS content_hash
+        FROM documents
+    """,
+    "q_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
+               cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sum_base_price,
+               cast(sum(cast(l_extendedprice as decimal(18,4)) * cast(1 - l_discount as decimal(18,4))) as double) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= timestamp '2025-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+}
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang, words in T.STOPWORDS.items():
+        pattern = r"(?i)\b(" + "|".join(words) + r")\b"
+        score_exprs.append(
+            f"cast(len(regexp_extract_all(text, '{pattern}')) as bigint) AS score_{lang}"
+        )
+    langs = list(T.STOPWORDS)
+    arms = []
+    for i, lang in enumerate(langs):
+        later = langs[i + 1 :]
+        cond = (
+            " AND ".join(f"score_{lang} >= score_{o}" for o in later)
+            if later
+            else "TRUE"
+        )
+        arms.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(arms) + " END"
+    return (
+        "SELECT doc_id, "
+        + ", ".join(f"score_{lang}" for lang in langs)
+        + f", {case} AS lang_guess FROM (SELECT doc_id, "
+        + ", ".join(score_exprs)
+        + " FROM documents) t"
+    )
+
+
+ORACLES["q_langid_stopwords"] = _langid_oracle()
+
+QUERIES = {
+    "q_check_url_bank": q_check_url_bank,
+    "q_url_canonical_dedup": q_url_canonical_dedup,
+    "q_extract_links": q_extract_links,
+    "q_host_aggregates": q_host_aggregates,
+    "q_frontier_next_urls": q_frontier_next_urls,
+    "q_download_schedule": q_download_schedule,
+    "q_filter_unknown_urls": q_filter_unknown_urls,
+    "q_filter_unvisited_urls": q_filter_unvisited_urls,
+    "q_domain_sample": q_domain_sample,
+    "q_exact_text_dedup": q_exact_text_dedup,
+    "q_minhash_sql": q_minhash_sql,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_token_stats": q_token_stats,
+    "q_quality_scores": q_quality_scores,
+    "q_langid_stopwords": q_langid_stopwords,
+    "q_embedding_neighbors": q_embedding_neighbors,
+    "q_media_features": q_media_features,
+    "q_pricing_summary": q_pricing_summary,
+    # rows-only (no oracle entry): probabilistic / UDF-kernel surfaces
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_simhash_fingerprints": q_simhash_fingerprints,
+    "q_substring_pairs": q_substring_pairs,
+    "q_cluster_assignments": q_cluster_assignments,
+    "q_ann_topk_lsh": q_ann_topk_lsh,
+}

@@ -45,6 +45,12 @@ class DedupConfig:
     with_substring_stage: bool = True
     with_simhash_stage: bool = True
     seed: int = 42
+    # "all": every stage is a resumable parquet snapshot (durable runs,
+    # the Iceberg-checkpoint analog).  "minimal": only multiply-consumed
+    # intermediates persist in memory and only the final assignments
+    # snapshot to parquet — fewer driver barriers, better scaling when
+    # stage outputs are small relative to job overhead.
+    snapshot_mode: str = "all"
     extra: dict = field(default_factory=dict)
 
 
@@ -62,14 +68,31 @@ def _write_snapshot(df: DataFrame, path: str) -> None:
 
 
 class DedupPipeline:
-    def __init__(self, spark: SparkSession, workdir: str, config: DedupConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        config: DedupConfig | None = None,
+        count_rows: bool = True,
+    ):
         self.spark = spark
         self.workdir = workdir
         self.config = config or DedupConfig()
+        self.count_rows = count_rows
         self.metrics: list[dict] = []
         os.makedirs(workdir, exist_ok=True)
 
-    def _stage(self, name: str, build, resume: bool) -> DataFrame:
+    def _stage(self, name: str, build, resume: bool, kind: str = "snapshot") -> DataFrame:
+        if self.config.snapshot_mode == "minimal" and kind != "snapshot":
+            started = time.time()
+            df = build()
+            if kind == "persist":
+                df = df.persist()
+                df.count()  # materialize the cache once
+            self.metrics.append(
+                {"stage": name, "kind": kind, "secs": round(time.time() - started, 3)}
+            )
+            return df
         path = _snapshot_path(self.workdir, name)
         started = time.time()
         if resume and _has_snapshot(path):
@@ -81,16 +104,15 @@ class DedupPipeline:
         df = build()
         _write_snapshot(df, path)
         out = self.spark.read.parquet(path)
-        n_rows = out.count()
-        self.metrics.append(
-            {
-                "stage": name,
-                "resumed": False,
-                "rows": n_rows,
-                "partitions": out.rdd.getNumPartitions(),
-                "secs": round(time.time() - started, 3),
-            }
-        )
+        metric = {
+            "stage": name,
+            "resumed": False,
+            "secs": round(time.time() - started, 3),
+        }
+        if self.count_rows:
+            metric["rows"] = out.count()
+            metric["partitions"] = out.rdd.getNumPartitions()
+        self.metrics.append(metric)
         return out
 
     def run(self, pages: DataFrame, resume: bool = False) -> dict:
@@ -113,7 +135,7 @@ class DedupPipeline:
                 )
             )
 
-        canonical = self._stage("01_canonical", build_canonical, resume)
+        canonical = self._stage("01_canonical", build_canonical, resume, kind="lazy")
 
         # ---- stage 2: exact URL dedup (earliest capture wins) ----
         def build_url_dedup():
@@ -124,7 +146,7 @@ class DedupPipeline:
                 salt_partitions=cfg.salt_partitions,
             )
 
-        url_unique = self._stage("02_url_dedup", build_url_dedup, resume)
+        url_unique = self._stage("02_url_dedup", build_url_dedup, resume, kind="persist")
 
         # ---- stage 3: exact text pair evidence (md5 hash groups) ----
         def build_text_pairs():
@@ -138,7 +160,7 @@ class DedupPipeline:
                 .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
             )
 
-        text_pairs = self._stage("03_exact_text_pairs", build_text_pairs, resume)
+        text_pairs = self._stage("03_exact_text_pairs", build_text_pairs, resume, kind="lazy")
 
         # ---- stage 4: MinHash signatures + LSH + verify ----
         def build_signatures():
@@ -149,7 +171,7 @@ class DedupPipeline:
                 seed=cfg.seed,
             )
 
-        signatures = self._stage("04_signatures", build_signatures, resume)
+        signatures = self._stage("04_signatures", build_signatures, resume, kind="persist")
 
         def build_minhash_pairs():
             candidates, dropped = dedup.lsh_candidate_pairs(
@@ -167,7 +189,7 @@ class DedupPipeline:
             )
             return verified.select("doc_a", "doc_b")
 
-        minhash_pairs = self._stage("05_minhash_pairs", build_minhash_pairs, resume)
+        minhash_pairs = self._stage("05_minhash_pairs", build_minhash_pairs, resume, kind="lazy")
 
         # ---- stage 5: SimHash fuzzy pairs ----
         if cfg.with_simhash_stage:
@@ -179,7 +201,7 @@ class DedupPipeline:
                     max_bucket_size=cfg.max_bucket_size,
                 ).select("doc_a", "doc_b")
 
-            simhash_pairs = self._stage("06_simhash_pairs", build_simhash_pairs, resume)
+            simhash_pairs = self._stage("06_simhash_pairs", build_simhash_pairs, resume, kind="lazy")
         else:
             simhash_pairs = None
 
@@ -194,7 +216,7 @@ class DedupPipeline:
                     cands, url_unique, min_length=cfg.substring_min_len
                 ).select("doc_a", "doc_b")
 
-            substr_pairs = self._stage("07_substring_pairs", build_substring_pairs, resume)
+            substr_pairs = self._stage("07_substring_pairs", build_substring_pairs, resume, kind="lazy")
         else:
             substr_pairs = None
 
@@ -207,7 +229,7 @@ class DedupPipeline:
                 evidence = evidence.unionByName(substr_pairs)
             return dedup.cluster_assignments(url_unique, evidence.distinct())
 
-        clusters = self._stage("08_clusters", build_clusters, resume)
+        clusters = self._stage("08_clusters", build_clusters, resume, kind="lazy")
 
         # ---- final output: url -> cluster ----
         def build_output():
@@ -219,7 +241,7 @@ class DedupPipeline:
 
         summary = {
             "stages": self.metrics,
-            "n_output": output.count(),
+            "n_output": output.count() if self.count_rows else None,
         }
         with open(os.path.join(self.workdir, "metrics.json"), "a") as fh:
             fh.write(json.dumps(summary) + "\n")

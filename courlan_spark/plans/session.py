@@ -26,6 +26,13 @@ def get_session(
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
 
+    # one math thread per Python UDF worker: parallelism comes from
+    # Spark tasks; nested BLAS/OpenMP threads (N workers x N threads)
+    # oversubscribe the box and destroy scaling
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -45,7 +45,15 @@ _WORDS_DE = (
     "frage antwort fenster grenze reise winter sommer herbst silber "
     "stein brücke wald dorf hafen insel tal wiese schatten morgen"
 ).split()
-_LANG_BANKS = {"en": _WORDS_EN, "de": _WORDS_DE}
+# Expand each base bank to ~2000 distinct tokens (suffix-numbered
+# variants).  A tiny vocabulary makes *unrelated* documents share most
+# of their 9-char shingles, flooding LSH/SimHash/winnowing with false
+# candidates that real web text does not produce.
+def _expand(bank: list[str], factor: int = 40) -> list[str]:
+    return [w if i == 0 else f"{w}{i}" for w in bank for i in range(factor)]
+
+
+_LANG_BANKS = {"en": _expand(_WORDS_EN), "de": _expand(_WORDS_DE)}
 _LANGS = ["en", "de", "fr", "es", "it"]
 _LANG_WEIGHTS = [0.38, 0.38, 0.10, 0.08, 0.06]
 

@@ -1,0 +1,66 @@
+"""Catalog integrity without a SparkSession.
+
+1. The URL-bank oracle expectations must match the scalar parity
+   layer exactly (protects the driver correctness gate from drift).
+2. Every oracle SQL string must parse and run on DuckDB at sf0.001.
+"""
+
+import duckdb
+import pytest
+
+from courlan_spark.plans.catalog import ORACLES, URL_BANK
+from courlan_spark.urlkit import check_url
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _render(fragment, doc_id):
+    "Evaluate a concat(...)-style SQL fragment in Python."
+    if fragment is None:
+        return None
+    inner = fragment.strip()
+    if inner.startswith("concat(") and inner.endswith(")"):
+        parts = []
+        for piece in inner[len("concat(") : -1].split(","):
+            piece = piece.strip()
+            if piece == "{ID}":
+                parts.append(str(doc_id))
+            else:
+                parts.append(piece.strip("'"))
+        return "".join(parts)
+    return inner.strip("'")
+
+
+@pytest.mark.parametrize("doc_id", [0, 7, 123])
+def test_urlbank_expectations(doc_id):
+    for raw_frag, norm_frag, domain in URL_BANK:
+        raw = _render(raw_frag, doc_id)
+        expected = _render(norm_frag, doc_id)
+        result = check_url(raw, strict=False)
+        if expected is None:
+            assert result is None, f"{raw} unexpectedly accepted: {result}"
+        else:
+            assert result is not None, f"{raw} unexpectedly rejected"
+            assert result[0] == expected
+            assert result[1] == domain
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for table in TABLES:
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{table}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(n for n, s in ORACLES.items() if s))
+def test_oracle_sql_runs_on_duckdb(duck, name):
+    rows = duck.execute(ORACLES[name]).fetchmany(5)
+    assert isinstance(rows, list)

@@ -1,0 +1,47 @@
+"""End-to-end pipeline correctness: dup-pair recall >= 0.99 on a
+planted-duplicate corpus (north rule, /root/repo/BASELINE.json:14),
+plus checkpoint/resume equivalence."""
+
+import shutil
+import tempfile
+
+from courlan_spark.plans.evaluate import dup_pair_recall
+from courlan_spark.plans.pipeline import DedupConfig, DedupPipeline
+from courlan_spark.sources.pages import generate_pages, pages_view, truth_view
+
+N_PAGES = 1200
+
+
+def test_pipeline_recall_and_resume(spark):
+    full = generate_pages(spark, N_PAGES).cache()
+    workdir = tempfile.mkdtemp(prefix="dedup_pipe_")
+    try:
+        pipeline = DedupPipeline(spark, workdir, DedupConfig(jaccard_threshold=0.6))
+        summary = pipeline.run(pages_view(full))
+        assert summary["n_output"] > 0
+
+        result = dup_pair_recall(truth_view(full), pipeline.assignments())
+        assert result["n_pairs"] > 100
+        assert result["recall"] >= 0.99, result
+
+        # resume: a second run reuses every snapshot and matches exactly
+        before = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in pipeline.assignments().collect()
+        )
+        pipeline2 = DedupPipeline(spark, workdir, DedupConfig(jaccard_threshold=0.6))
+        summary2 = pipeline2.run(pages_view(full), resume=True)
+        assert all(s.get("resumed") for s in summary2["stages"] if "resumed" in s)
+        after = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in pipeline2.assignments().collect()
+        )
+        assert before == after
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_generator_is_deterministic_across_partitionings(spark):
+    one = generate_pages(spark, 300, partitions=1).select("doc_id", "url", "text")
+    many = generate_pages(spark, 300, partitions=7).select("doc_id", "url", "text")
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))

@@ -1,0 +1,224 @@
+"""Spark operator behavior on small in-memory fixtures.
+
+Mirrors the reference's stateful/sampling test scenarios
+(/root/reference/tests/urlstore_tests.py and unit_tests.py:1320-1350)
+against the DataFrame operators, plus native-vs-Python predicate
+equivalence and end-to-end pipeline recall on a planted corpus.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from courlan_spark.functions.native import (
+    basic_filter_col,
+    canonical_key_col,
+    is_navigation_col,
+    is_not_crawlable_col,
+)
+from courlan_spark.operators import dedup, frontier, sampling
+from courlan_spark.operators.cc import connected_components
+from courlan_spark.urlkit import (
+    basic_filter,
+    canonical_dedup_key,
+    is_navigation_page,
+    is_not_crawlable,
+)
+
+URL_CORPUS = [
+    "https://test.org/",
+    "https://test.org/page/1",
+    "https://test.org/?p=11",
+    "https://test.org/login",
+    "https://test.org/login/",
+    "https://test.org/login.php",
+    "https://test.org/page",
+    "http://www.example.org/tag/abcde/",
+    "http://www.example.org/category/x/",
+    "https://example.com/kontakt.html",
+    "https://example.com/impressum/",
+    "short",
+    "http://" + "a" * 600 + ".com/x",
+    "https://site.de/datenschutzerklaerung",
+    "https://site.de/mailto:someone",
+    "https://x.org/author/name/",
+]
+
+
+def test_native_predicates_match_python(spark):
+    df = spark.createDataFrame([(u,) for u in URL_CORPUS], "url string")
+    rows = df.select(
+        "url",
+        basic_filter_col(F.col("url")).alias("basic"),
+        is_navigation_col(F.col("url")).alias("nav"),
+        is_not_crawlable_col(F.col("url")).alias("nc"),
+        canonical_key_col(F.col("url")).alias("ck"),
+    ).collect()
+    for row in rows:
+        assert row["basic"] == basic_filter(row["url"]), row["url"]
+        assert row["nav"] == is_navigation_page(row["url"]), row["url"]
+        assert row["nc"] == is_not_crawlable(row["url"]), row["url"]
+        assert row["ck"] == canonical_dedup_key(row["url"]), row["url"]
+
+
+def test_check_udf_matches_scalar(spark):
+    from courlan_spark.functions.url_udfs import make_check_url_udf
+    from courlan_spark.urlkit import check_url
+
+    df = spark.createDataFrame([(u,) for u in URL_CORPUS], "url string")
+    udf = make_check_url_udf(strict=True, language="de")
+    rows = df.select("url", udf("url").alias("c")).collect()
+    for row in rows:
+        expected = check_url(row["url"], strict=True, language="de")
+        got = (
+            None
+            if row["c"]["norm_url"] is None
+            else (row["c"]["norm_url"], row["c"]["domain"])
+        )
+        assert got == expected, row["url"]
+
+
+FRONTIER_ROWS = [
+    # host, path, visited, seq, priority
+    ("https://example.org", "/a", False, 1, 0),
+    ("https://example.org", "/b", True, 2, 0),
+    ("https://example.org", "/nav", False, 3, 1),
+    ("https://example.org", "/", False, 0, 0),
+    ("https://other.com", "/1", True, 4, 0),
+    ("https://other.com", "/2", True, 5, 0),
+]
+
+
+@pytest.fixture()
+def frontier_df(spark):
+    return spark.createDataFrame(
+        FRONTIER_ROWS, "host string, path string, visited boolean, seq long, priority int"
+    )
+
+
+def test_host_aggregates_state(frontier_df):
+    rows = {r["host"]: r for r in frontier.host_aggregates(frontier_df).collect()}
+    assert rows["https://example.org"]["state"] == "OPEN"
+    assert rows["https://example.org"]["total"] == 4
+    assert rows["https://example.org"]["visited_count"] == 1
+    assert rows["https://other.com"]["state"] == "ALL_VISITED"
+
+
+def test_next_urls_priority_order(frontier_df):
+    rows = frontier.next_urls(frontier_df, per_host=1).collect()
+    picks = {r["host"]: r["path"] for r in rows}
+    # navigation-priority path wins over earlier seq (appendleft analog)
+    assert picks["https://example.org"] == "/nav"
+    assert "https://other.com" not in picks  # fully visited
+
+
+def test_filter_unknown_and_unvisited(spark, frontier_df):
+    probe = spark.createDataFrame(
+        [
+            ("https://example.org/a",),
+            ("https://example.org/b",),
+            ("https://example.org/new",),
+            ("https://unseen.net/x",),
+        ],
+        "url string",
+    )
+    unknown = {
+        r["url"] for r in frontier.filter_unknown_urls(frontier_df, probe).collect()
+    }
+    assert unknown == {"https://example.org/new", "https://unseen.net/x"}
+    unvisited = {
+        r["url"] for r in frontier.filter_unvisited_urls(frontier_df, probe).collect()
+    }
+    # /b is stored+visited -> excluded; /a known-but-unvisited stays
+    assert unvisited == {
+        "https://example.org/a",
+        "https://example.org/new",
+        "https://unseen.net/x",
+    }
+
+
+def test_scheme_merge_and_variant_dedup(spark):
+    rows = [
+        ("http://example.org", "/a", False, 1, 0),
+        ("https://example.org", "/b", False, 2, 0),
+        ("https://example.org", "/b/", False, 3, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, path string, visited boolean, seq long, priority int"
+    )
+    merged = frontier.merge_scheme_variants(df)
+    assert {r["host"] for r in merged.collect()} == {"https://example.org"}
+    deduped = frontier.dedup_variants(merged)
+    assert sorted(r["path"] for r in deduped.collect()) == ["/a", "/b"]
+
+
+def test_sampling_counts_match_reference_contract(spark):
+    # reference scenario: unit_tests.py:1339-1350
+    urls = (
+        [("https://test.org", f"/{a}", False, a, 0) for a in range(1000)]
+        + [("https://www.example.org", f"/{a}", False, a, 0) for a in range(100)]
+        + [("https://www.other.org", f"/{a}", False, a, 0) for a in range(10000)]
+    )
+    df = spark.createDataFrame(
+        urls, "host string, path string, visited boolean, seq long, priority int"
+    )
+    sample = sampling.sample_per_domain(df, samplesize=10).collect()
+    by_host = {}
+    for r in sample:
+        by_host[r["host"]] = by_host.get(r["host"], 0) + 1
+    assert by_host == {
+        "https://test.org": 10,
+        "https://www.example.org": 10,
+        "https://www.other.org": 10,
+    }
+    sample150 = sampling.sample_per_domain(df, samplesize=150).collect()
+    by_host = {}
+    for r in sample150:
+        by_host[r["host"]] = by_host.get(r["host"], 0) + 1
+    assert by_host["https://test.org"] == 150
+    assert by_host["https://www.example.org"] == 100
+    assert by_host["https://www.other.org"] == 150
+    # exclusion bounds
+    assert (
+        sampling.sample_per_domain(df, samplesize=10, exclude_min=20000).count() == 0
+    )
+    only_small = sampling.sample_per_domain(df, samplesize=10, exclude_max=150)
+    assert {r["host"] for r in only_small.collect()} == {"https://www.example.org"}
+
+
+def test_sampling_is_deterministic(spark):
+    urls = [("https://t.org", f"/{a}", False, a, 0) for a in range(50)]
+    df = spark.createDataFrame(
+        urls, "host string, path string, visited boolean, seq long, priority int"
+    )
+    one = sorted(r["url"] for r in sampling.sample_per_domain(df, 5).collect())
+    two = sorted(r["url"] for r in sampling.sample_per_domain(df, 5).collect())
+    assert one == two
+
+
+def test_connected_components_shapes(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21)],
+        "src long, dst long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert {comp[n] for n in (1, 2, 3, 4, 5)} == {1}
+    assert {comp[n] for n in (10, 11, 12)} == {10}
+    assert {comp[n] for n in (20, 21)} == {20}
+
+
+def test_exact_dedup_keeps_earliest(spark):
+    rows = [
+        (1, "k1", 100), (2, "k1", 50), (3, "k2", 10), (4, "k2", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, key string, ts long")
+    out = {r["key"]: r for r in dedup.exact_dedup(df, ["key"], ["ts", "doc_id"]).collect()}
+    assert out["k1"]["doc_id"] == 2 and out["k1"]["n_copies"] == 2
+    assert out["k2"]["doc_id"] == 3  # ts tie -> min doc_id
+    # salted two-phase gives identical winners
+    salted = {
+        r["key"]: r
+        for r in dedup.exact_dedup(df, ["key"], ["ts", "doc_id"], salt_partitions=4).collect()
+    }
+    assert {k: v["doc_id"] for k, v in out.items()} == {
+        k: v["doc_id"] for k, v in salted.items()
+    }
