@@ -76,7 +76,11 @@ def make_check_url_udf(
                 domains.append(checked[1])
         return pd.DataFrame({"norm_url": norms, "domain": domains})
 
-    return check_udf
+    # The function is pure; the nondeterministic marking is an optimizer
+    # hint that stops Catalyst from duplicating the (expensive) UDF when
+    # a Filter is pushed through the Project that references its struct
+    # fields — observed as two ArrowEvalPython nodes doing double work.
+    return check_udf.asNondeterministic()
 
 
 def make_normalize_udf(
@@ -101,7 +105,7 @@ def make_normalize_udf(
                 out.append(None)
         return pd.Series(out)
 
-    return normalize_udf
+    return normalize_udf.asNondeterministic()
 
 
 @pandas_udf(StringType())
@@ -149,6 +153,11 @@ def host_path_udf(urls: pd.Series) -> pd.DataFrame:
             hosts.append(None)
             paths.append(None)
     return pd.DataFrame({"host": hosts, "path": paths})
+
+
+# pure, but marked nondeterministic to prevent duplicate evaluation
+# (see make_check_url_udf)
+host_path_udf = host_path_udf.asNondeterministic()
 
 
 def make_extract_links_udf(

@@ -186,7 +186,10 @@ def q_check_url_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Exact URL dedup: tracker-decorated raw URLs collapse to canonicals."
     _views(spark, sf_dir, "lineitem")
-    urls = spark.sql(LINEITEM_URL_SQL)
+    # parquet input arrives in few splits; spread the Python UDF work
+    urls = spark.sql(LINEITEM_URL_SQL).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     check_udf = make_check_url_udf(strict=False)
     return (
         urls.withColumn("_c", check_udf("raw_url"))
