@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     StringType,
     StructField,
     StructType,
@@ -158,6 +159,52 @@ def host_path_udf(urls: pd.Series) -> pd.DataFrame:
 # pure, but marked nondeterministic to prevent duplicate evaluation
 # (see make_check_url_udf)
 host_path_udf = host_path_udf.asNondeterministic()
+
+
+@pandas_udf(StringType())
+def base_url_udf(urls: pd.Series) -> pd.Series:
+    "url -> scheme://netloc (get_base_url analog, urlutils.py:72-80)."
+    from ..urlkit import get_base_url
+
+    def one(u):
+        try:
+            return get_base_url(u) if isinstance(u, str) else None
+        except (ValueError, TypeError):
+            return None
+
+    return urls.map(one)
+
+
+@pandas_udf(StringType())
+def fix_relative_udf(baseurls: pd.Series, hrefs: pd.Series) -> pd.Series:
+    "(page_url, href) -> absolute URL (fix_relative_urls analog)."
+    from ..urlkit import fix_relative_urls
+
+    out = []
+    for base, href in zip(baseurls, hrefs):
+        try:
+            out.append(
+                fix_relative_urls(base, href)
+                if isinstance(base, str) and isinstance(href, str)
+                else None
+            )
+        except ValueError:
+            out.append(None)
+    return pd.Series(out)
+
+
+@pandas_udf(BooleanType())
+def is_external_udf(urls: pd.Series, references: pd.Series) -> pd.Series:
+    "(url, reference) -> registrable-domain inequality (is_external)."
+    from ..urlkit import is_external
+
+    return pd.Series(
+        [
+            is_external(u, r) if isinstance(u, str) and isinstance(r, str) else True
+            for u, r in zip(urls, references)
+        ],
+        dtype="bool",
+    )
 
 
 def make_extract_links_udf(

@@ -157,6 +157,59 @@ def download_schedule(
     )
 
 
+def get_download_urls(
+    frontier: DataFrame,
+    time_limit: float = 10.0,
+    max_urls: int = 10000,
+    now_ts=None,
+) -> DataFrame:
+    """Rate-limited pull (get_download_urls analog, urlstore.py:432-453):
+    one URL per host whose last contact (`host_ts`, nullable column) is
+    older than `time_limit` seconds, capped at `max_urls` globally.
+    Deterministic global order (host) replaces dict order."""
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("seq").asc())
+    now_expr = F.lit(now_ts).cast("timestamp") if now_ts is not None else F.current_timestamp()
+    eligible = frontier.where(~F.col("visited"))
+    if "host_ts" in frontier.columns:
+        eligible = eligible.where(
+            F.col("host_ts").isNull()
+            | (now_expr.cast("double") - F.col("host_ts").cast("double") > time_limit)
+        )
+    return (
+        eligible.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("host", F.concat("host", "path").alias("url"))
+        .orderBy("host")
+        .limit(max_urls)
+    )
+
+
+def is_done(frontier: DataFrame) -> bool:
+    "True when every host is exhausted (done test, urlstore.py:213-216)."
+    row = frontier.agg(F.bool_and("visited").alias("all_visited")).first()
+    return bool(row["all_visited"]) if row["all_visited"] is not None else True
+
+
+def download_threshold_reached(frontier: DataFrame, threshold: float) -> bool:
+    "any(host download count >= threshold) (urlstore.py:542-544)."
+    counts = frontier.where(F.col("visited")).groupBy("host").agg(
+        F.count("*").alias("count")
+    )
+    row = counts.agg(F.max("count").alias("m")).first()
+    return bool(row["m"] is not None and row["m"] >= threshold)
+
+
+def save_frontier(frontier: DataFrame, path: str) -> None:
+    """Persist the frontier as a snapshot (UrlStore.write analog,
+    urlstore.py:573-583; Iceberg `writeTo` seam at scale)."""
+    frontier.write.mode("overwrite").parquet(path)
+
+
+def load_frontier(spark, path: str) -> DataFrame:
+    "Restore a frontier snapshot (load_store analog)."
+    return spark.read.parquet(path)
+
+
 def _probe_host_path(probe: DataFrame, url_col: str) -> DataFrame:
     return (
         probe.withColumn("_hp", host_path_udf(F.col(url_col)))

@@ -183,6 +183,18 @@ def q_check_url_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "CLI two-sink analog: valid/discarded bucket counts over the bank."
+    from ..sources.urlfile import check_urls
+
+    _views(spark, sf_dir, "documents")
+    urls = spark.sql(URLBANK_SQL)
+    checked = check_urls(urls)
+    return checked.groupBy(
+        F.when(F.col("ok"), F.lit("valid")).otherwise(F.lit("discarded")).alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Exact URL dedup: tracker-decorated raw URLs collapse to canonicals."
     _views(spark, sf_dir, "lineitem")
@@ -426,6 +438,12 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES: dict[str, str] = {
     "q_check_url_bank": URLBANK_ORACLE,
+    "q_url_split_counts": f"""
+        SELECT CASE WHEN {_bank_case('norm')} IS NULL THEN 'discarded'
+                    ELSE 'valid' END AS bucket,
+               cast(count(*) as bigint) AS n
+        FROM documents GROUP BY 1
+    """,
     "q_url_canonical_dedup": f"""
         WITH urls AS ({LINEITEM_URL_SQL})
         SELECT canonical_url AS norm_url, cast(count(*) as bigint) AS n_raw
@@ -600,6 +618,7 @@ ORACLES["q_langid_stopwords"] = _langid_oracle()
 
 QUERIES = {
     "q_check_url_bank": q_check_url_bank,
+    "q_url_split_counts": q_url_split_counts,
     "q_url_canonical_dedup": q_url_canonical_dedup,
     "q_extract_links": q_extract_links,
     "q_host_aggregates": q_host_aggregates,
