@@ -31,7 +31,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "30000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
 WITH_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # N vs 4N proxy: local[4] vs local[16].  The box advertises 32 CPUs
 # but a pure-CPU calibration (32 single-thread processes) delivers
@@ -93,6 +93,7 @@ def _run_pipeline(cpus: int, corpus_path: str) -> dict:
             "secs": round(elapsed, 2),
             "docs_per_sec": round(N_PAGES / elapsed, 1),
             "recall": round(recall["recall"], 4),
+            "precision": round(recall["precision"], 4),
             "stages": pipeline.metrics,
         }
     finally:
@@ -155,6 +156,7 @@ def main() -> None:
             "pages": N_PAGES,
             "docs_per_sec": high["docs_per_sec"],
             "recall": high["recall"],
+            "precision": high["precision"],
             "scaling": scaling,
         }
         print(json.dumps(result))

@@ -123,12 +123,18 @@ def download_schedule(
     frontier: DataFrame,
     max_urls: int = 100,
     time_limit: float = 10.0,
+    crawl_delays: DataFrame | None = None,
 ) -> DataFrame:
     """establish_download_schedule analog (urlstore.py:455-505):
     per-host quota = max_urls // open_hosts (floor, min 1); the i-th
-    pick of a host is scheduled i*time_limit seconds out; global order
-    by schedule time.  Backoff against a per-host last-contact
-    timestamp applies when the frontier carries `host_ts`."""
+    pick of a host is scheduled i*delay seconds out; global order by
+    schedule time.
+
+    ``crawl_delays`` is an optional small table
+    ``(host string, crawl_delay double)`` from parsed robots.txt rules
+    (get_crawl_delay analog, urlstore.py:524-530): hosts present use
+    their own delay, others fall back to ``time_limit``.  It is
+    broadcast — robots tables are tiny relative to the frontier."""
     open_hosts = frontier.where(~F.col("visited")).select("host").distinct()
     n_open = open_hosts.count()
     if n_open == 0:
@@ -143,9 +149,15 @@ def download_schedule(
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= per_host)
     )
+    if crawl_delays is not None:
+        picks = picks.join(
+            F.broadcast(crawl_delays.select("host", "crawl_delay")), "host", "left"
+        ).withColumn("_delay", F.coalesce("crawl_delay", F.lit(time_limit)))
+    else:
+        picks = picks.withColumn("_delay", F.lit(time_limit))
     return (
         picks.withColumn(
-            "schedule_secs", (F.col("rn") - F.lit(1)).cast("double") * F.lit(time_limit)
+            "schedule_secs", (F.col("rn") - F.lit(1)).cast("double") * F.col("_delay")
         )
         .select(
             "host",

@@ -62,10 +62,31 @@ def dup_pair_recall(
     rows = stats.collect()
     total = sum(r["n_pairs"] for r in rows)
     hits = sum(r["n_hit"] for r in rows)
+
+    # precision over predicted co-clustered pairs among truth-covered
+    # docs: a predicted pair is correct iff the truth also co-clusters
+    # it (truth includes singleton clusters, so false merges count)
+    scored = mapped.select("doc_id", "true_cluster", "pred_cluster")
+    pred_pairs = scored.alias("a").join(
+        scored.alias("b"),
+        (F.col("a.pred_cluster") == F.col("b.pred_cluster"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    prec_row = pred_pairs.agg(
+        F.count("*").alias("n_pred"),
+        F.sum(
+            (F.col("a.true_cluster") == F.col("b.true_cluster")).cast("long")
+        ).alias("n_correct"),
+    ).first()
+    n_pred = prec_row["n_pred"] or 0
+    n_correct = prec_row["n_correct"] or 0
+
     return {
         "recall": (hits / total) if total else 1.0,
+        "precision": (n_correct / n_pred) if n_pred else 1.0,
         "n_pairs": total,
         "n_hit": hits,
+        "n_predicted_pairs": n_pred,
         "per_kind": {
             r["dup_kind"]: {"n_pairs": r["n_pairs"], "n_hit": r["n_hit"]} for r in rows
         },

@@ -177,9 +177,12 @@ class DedupPipeline:
             candidates, dropped = dedup.lsh_candidate_pairs(
                 signatures, bands=cfg.bands, max_bucket_size=cfg.max_bucket_size
             )
-            n_dropped = dropped.count()
-            if n_dropped:
-                self.metrics.append({"stage": "05_lsh", "dropped_buckets": n_dropped})
+            if self.count_rows:  # dropped-bucket accounting costs a job
+                n_dropped = dropped.count()
+                if n_dropped:
+                    self.metrics.append(
+                        {"stage": "05_lsh", "dropped_buckets": n_dropped}
+                    )
             verified = dedup.verify_pairs_jaccard(
                 candidates,
                 url_unique,

@@ -222,3 +222,35 @@ def test_exact_dedup_keeps_earliest(spark):
     assert {k: v["doc_id"] for k, v in out.items()} == {
         k: v["doc_id"] for k, v in salted.items()
     }
+
+
+def test_download_schedule_quota_and_delays(spark):
+    rows = [
+        ("https://a.org", f"/{i}", False, i, 0) for i in range(5)
+    ] + [
+        ("https://b.org", f"/{i}", False, i, 0) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, path string, visited boolean, seq long, priority int"
+    )
+    # quota: max_urls=4 over 2 open hosts -> 2 per host
+    sched = frontier.download_schedule(df, max_urls=4, time_limit=10.0).collect()
+    assert len(sched) == 4
+    by_host = {}
+    for r in sched:
+        by_host.setdefault(r["host"], []).append(r["schedule_secs"])
+    assert by_host["https://a.org"] == [0.0, 10.0]
+    assert by_host["https://b.org"] == [0.0, 10.0]
+
+    # per-host robots crawl delay overrides the default spacing
+    delays = spark.createDataFrame(
+        [("https://a.org", 30.0)], "host string, crawl_delay double"
+    )
+    sched = frontier.download_schedule(
+        df, max_urls=4, time_limit=10.0, crawl_delays=delays
+    ).collect()
+    by_host = {}
+    for r in sched:
+        by_host.setdefault(r["host"], []).append(r["schedule_secs"])
+    assert by_host["https://a.org"] == [0.0, 30.0]
+    assert by_host["https://b.org"] == [0.0, 10.0]
