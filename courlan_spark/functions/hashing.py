@@ -211,9 +211,14 @@ def simhash64(text: str, shingle_k: int = DEFAULT_SHINGLE_K) -> int:
     if features.size == 0:
         return 0
     hashes = _splitmix64(features.astype(np.uint64))
-    bits = ((hashes[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
-    acc = (2 * bits - 1).sum(axis=0)
-    fingerprint = ((acc >= 0).astype(np.uint64) * _BIT_WEIGHTS).sum(dtype=np.uint64)
+    # bit-count per position via unpackbits on the little-endian byte
+    # view: (n, 64) uint8 — 8x less memory traffic than an int64 matrix
+    bits = np.unpackbits(
+        hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    counts = bits.sum(axis=0, dtype=np.int64)
+    majority = (2 * counts >= hashes.size).astype(np.uint64)
+    fingerprint = (majority * _BIT_WEIGHTS).sum(dtype=np.uint64)
     return int(fingerprint.astype(np.int64))
 
 

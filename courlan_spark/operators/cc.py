@@ -49,6 +49,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
     checkpoint_every: int = 1,
+    check_from_iteration: int = 2,
 ) -> DataFrame:
     """Resolve components over an undirected edge list.
 
@@ -65,21 +66,25 @@ def connected_components(
     )
 
     # fixpoint test: edge multiset stable under a cheap signature
-    # (bit_xor is overflow-free under ANSI mode and order-insensitive)
+    # (bit_xor is overflow-free under ANSI mode and order-insensitive).
+    # Duplicate-cluster graphs (near-cliques from bucket joins) need
+    # 2-3 star rounds, so the convergence probe — one agg action per
+    # round — only starts at `check_from_iteration`.
     sig_expr = [
         F.count("*").alias("n"),
         F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
     ]
-    prev_sig = current.agg(*sig_expr).first()
+    prev_sig = None
 
     for iteration in range(max_iterations):
         stepped = _small_star(_large_star(current))
         stepped = stepped.localCheckpoint() if (iteration % checkpoint_every == 0) else stepped
-        next_sig = stepped.agg(*sig_expr).first()
         current = stepped
-        if next_sig == prev_sig:
-            break
-        prev_sig = next_sig
+        if iteration + 1 >= check_from_iteration:
+            next_sig = current.agg(*sig_expr).first()
+            if next_sig == prev_sig:
+                break
+            prev_sig = next_sig
 
     # after convergence every edge points node -> component root;
     # roots themselves appear only as dst

@@ -200,31 +200,40 @@ def simhash_candidate_pairs(
     fingerprints: DataFrame,
     max_hamming: int = 3,
     max_bucket_size: int | None = 1000,
+    n_blocks: int = 6,
 ) -> DataFrame:
     """Fuzzy-duplicate candidates within `max_hamming` bits.
 
-    Pigeonhole bucketing: split 64 bits into max_hamming+1 blocks;
-    near-duplicates agree on at least one block, so a per-block
-    equi-join finds all of them without a cross join.  Pairs are
+    Block-combination bucketing (Manku et al., WWW'07): split the 64
+    bits into ``n_blocks`` blocks; at most ``max_hamming`` blocks can
+    be touched, so near-duplicates agree on some
+    (n_blocks - max_hamming)-subset of blocks.  Keying on the hash of
+    every such subset (C(6,3)=20 keys per doc at the defaults) gives
+    ~32+ bits of bucket entropy — unlike single-block keys (16 bits),
+    bucket occupancy stays O(true duplicates) as the corpus grows, so
+    the self-join does not go quadratic at web scale.  Pairs are
     confirmed with an exact popcount on the XOR (native bit ops).
     """
-    blocks = max_hamming + 1
-    width = 64 // blocks
+    from itertools import combinations
+
+    if n_blocks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming")
+    subset = n_blocks - max_hamming
+    width = 64 // n_blocks
+    block_cols = [
+        F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1) if i < n_blocks - 1 else F.lit((1 << (64 - i * width)) - 1)
+        )
+        for i in range(n_blocks)
+    ]
+    keys = [
+        F.xxhash64(F.lit(combo_id), *[block_cols[i] for i in combo])
+        for combo_id, combo in enumerate(combinations(range(n_blocks), subset))
+    ]
     fp = fingerprints.select(
         "doc_id",
         F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    (
-                        F.shiftrightunsigned(F.col("simhash"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        + F.lit(i << (width + 1))
-                    ).alias(f"b{i}")
-                    for i in range(blocks)
-                ]
-            )
-        ).alias("block_key"),
+        F.explode(F.array(*keys)).alias("block_key"),
     )
     if max_bucket_size is not None:
         sizes = fp.groupBy("block_key").agg(F.count("*").alias("sz"))
