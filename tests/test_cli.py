@@ -1,0 +1,76 @@
+"""CLI surface: argument parity with the reference binary and the
+process/sample flows against a shared session.
+
+Reference scenarios: /root/reference/tests/unit_tests.py:1211-1318.
+"""
+
+import os
+
+from courlan_spark.cli import parse_args, process_args
+
+INPUT = """https://example.org/valid
+http://ab
+not-a-url
+https://www.dwds.de/article-one
+https://www.dwds.de/article-two
+https://www.dwds.de/article-three
+http://media.example.com/test.avi
+"""
+
+
+def test_parse_args():
+    args = parse_args(
+        [
+            "-i", "input.txt",
+            "-d", "discardedfile.txt",
+            "--outputfile", "output.txt",
+            "-v",
+            "--language", "en",
+            "--parallel", "2",
+        ]
+    )
+    assert args.inputfile == "input.txt"
+    assert args.discardedfile == "discardedfile.txt"
+    assert args.outputfile == "output.txt"
+    assert args.verbose is True
+    assert args.language == "en"
+    assert args.parallel == 2
+
+    args = parse_args(["-i", "a", "-o", "b", "--sample", "10", "--exclude-min", "3"])
+    assert args.sample == 10 and args.exclude_min == 3 and args.discardedfile is None
+
+
+def _read_parts(path):
+    lines = set()
+    for name in os.listdir(path):
+        if name.startswith("part-"):
+            with open(os.path.join(path, name)) as fh:
+                lines |= {line.strip() for line in fh if line.strip()}
+    return lines
+
+
+def test_cli_process_flow(spark, tmp_path):
+    src = tmp_path / "input.txt"
+    src.write_text(INPUT)
+    out = tmp_path / "out"
+    disc = tmp_path / "disc"
+    args = parse_args(
+        ["-i", str(src), "-o", str(out), "-d", str(disc), "-p", "2"]
+    )
+    process_args(args, spark=spark)
+    valid = _read_parts(out)
+    discarded = _read_parts(disc)
+    assert "https://example.org/valid" in valid
+    assert {"http://ab", "not-a-url"} <= discarded
+    assert "http://media.example.com/test.avi" in discarded
+
+
+def test_cli_sample_flow(spark, tmp_path):
+    src = tmp_path / "input.txt"
+    src.write_text(INPUT)
+    out = tmp_path / "sample"
+    args = parse_args(["-i", str(src), "-o", str(out), "--sample", "2"])
+    process_args(args, spark=spark)
+    sampled = _read_parts(out)
+    # only dwds.de has >0 non-root paths after filtering; sample of 2
+    assert len([u for u in sampled if "dwds.de" in u]) == 2

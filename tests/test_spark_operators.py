@@ -254,3 +254,43 @@ def test_download_schedule_quota_and_delays(spark):
         by_host.setdefault(r["host"], []).append(r["schedule_secs"])
     assert by_host["https://a.org"] == [0.0, 30.0]
     assert by_host["https://b.org"] == [0.0, 10.0]
+
+
+def test_connected_components_vs_union_find(spark):
+    "CC must match a scalar union-find on random graphs."
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    touched = {n for e in edges for n in e}
+    expected = {n: find(n) for n in touched}
+    # canonicalize: component id = min node of component
+    comp_min = {}
+    for n, root in expected.items():
+        comp_min.setdefault(root, n)
+        comp_min[root] = min(comp_min[root], n)
+    expected = {n: comp_min[find(n)] for n in touched}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
