@@ -135,6 +135,94 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer (k-means over a
+    bounded driver-side sample — the standard IVF training step)
+    assigns every vector to its nearest centroid list; queries probe
+    the ``n_probe`` nearest lists and re-rank with exact cosine.
+
+    The trained centroid matrix is tiny (n_centroids x dim) and ships
+    inside the assignment UDF closure (broadcast); the corpus-side
+    assignment is a single vectorized pass, and the candidate join is
+    an equi-join on the centroid id.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sample = (
+        vectors.select(vec_col)
+        .limit(train_sample)
+        .toPandas()[vec_col]
+        .tolist()
+    )
+    train = np.asarray([v for v in sample if len(v) == dim], dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    centroids = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)]
+    # a few Lloyd iterations; deterministic given the seed
+    for _ in range(8):
+        norm_c = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-9
+        )
+        assign = (train @ norm_c.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    norm_c = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-9
+    )
+
+    def _assign_udf(top: int):
+        @pandas_udf("array<int>")
+        def assign_udf(vecs: pd.Series) -> pd.Series:
+            out = []
+            for vec in vecs:
+                v = np.asarray(vec, dtype=np.float32)
+                if v.size != dim:
+                    out.append([])
+                    continue
+                scores = norm_c @ v
+                out.append(np.argsort(-scores)[:top].astype("int32").tolist())
+            return pd.Series(out)
+
+        return assign_udf
+
+    corpus = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(_assign_udf(1)(F.col(vec_col))).alias("list_id"),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(_assign_udf(n_probe)(F.col(vec_col))).alias("list_id"),
+    )
+    candidates = corpus.join(probes, "list_id").dropDuplicates(["query_id", "vec_id"])
+    scored = candidates.select(
+        "query_id", "vec_id", _cosine_expr(F.col("vec"), F.col("qvec")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     dim: int,

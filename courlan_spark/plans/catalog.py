@@ -432,6 +432,23 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, dim=64, k=5)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "IVF-flat approximate top-k over embeddings."
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, dim=64, k=5, n_centroids=32, n_probe=6)
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Cosine near-duplicate pairs via hyperplane buckets + exact rescore."
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return similarity.embedding_neardup_pairs(emb, dim=64, threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB side)
 # ---------------------------------------------------------------------------
@@ -642,4 +659,6 @@ QUERIES = {
     "q_substring_pairs": q_substring_pairs,
     "q_cluster_assignments": q_cluster_assignments,
     "q_ann_topk_lsh": q_ann_topk_lsh,
+    "q_ann_topk_ivf": q_ann_topk_ivf,
+    "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
 }

@@ -46,7 +46,12 @@ def get_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # keep scans right-sized for ~128MB parquet splits at scale
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts every task; N concurrent
+        # tasks need N shares of sort/join memory or stages spill and
+        # high core counts run *slower* than low ones (measured: the
+        # signature-estimate verify join at 32 threads took 2x longer
+        # on an 8g heap than on 32g)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
