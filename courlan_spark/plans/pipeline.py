@@ -243,11 +243,27 @@ class DedupPipeline:
         output = self._stage("09_assignments", build_output, resume)
 
         summary = {
+            "config": {
+                k: v for k, v in vars(cfg).items() if not isinstance(v, dict)
+            },
             "stages": self.metrics,
             "n_output": output.count() if self.count_rows else None,
         }
+        if self.count_rows:
+            # per-partition lineage/metrics (north rule): row counts of
+            # the final assignments per physical partition — one cheap
+            # aggregation on spark_partition_id
+            partition_rows = (
+                output.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .orderBy("pid")
+                .collect()
+            )
+            summary["output_partitions"] = [
+                {"partition": r["pid"], "rows": r["count"]} for r in partition_rows
+            ]
         with open(os.path.join(self.workdir, "metrics.json"), "a") as fh:
-            fh.write(json.dumps(summary) + "\n")
+            fh.write(json.dumps(summary, default=str) + "\n")
         return summary
 
     def assignments(self) -> DataFrame:
