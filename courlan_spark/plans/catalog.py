@@ -412,6 +412,13 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_ops.verify_substring_pairs(cands, docs)
 
 
+def q_suffix_array_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Per-partition suffix-array scan for long verbatim blocks."
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents").coalesce(4)
+    return suffix_ops.partition_suffix_array_pass(docs, min_length=63)
+
+
 def q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash/LSH pair evidence clustered via large-star/small-star CC."
     _views(spark, sf_dir, "documents")
@@ -662,6 +669,7 @@ QUERIES = {
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash_fingerprints": q_simhash_fingerprints,
     "q_substring_pairs": q_substring_pairs,
+    "q_suffix_array_pass": q_suffix_array_pass,
     "q_cluster_assignments": q_cluster_assignments,
     "q_ann_topk_lsh": q_ann_topk_lsh,
     "q_ann_topk_ivf": q_ann_topk_ivf,

@@ -80,3 +80,23 @@ def test_winnowing_guarantee():
     fa = winnow_fingerprints(doc_a + shared)
     fb = winnow_fingerprints(shared + doc_b)
     assert set(fa.tolist()) & set(fb.tolist())
+
+
+def test_partition_suffix_array_pass(spark):
+    from courlan_spark.operators.suffix import partition_suffix_array_pass
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog while the band plays on "
+        * 2
+    )
+    rows = [
+        (1, "aaa " + shared + " bbb"),
+        (2, "ccc " + shared + " ddd"),
+        (3, "totally unrelated text that shares nothing with the others"),
+        (4, "another lonely document with its own words and phrases"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    out = [tuple(r) for r in partition_suffix_array_pass(df, min_length=63).collect()]
+    assert len(out) == 1
+    doc_a, doc_b, block_len = out[0]
+    assert (doc_a, doc_b) == (1, 2) and block_len >= 63
