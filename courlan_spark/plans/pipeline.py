@@ -118,21 +118,33 @@ class DedupPipeline:
     def run(self, pages: DataFrame, resume: bool = False) -> dict:
         cfg = self.config
 
+        # free row-count metrics via observe(): recorded on the single
+        # physical pass, no extra jobs (the north rule's per-stage
+        # metrics without count() barriers)
+        from pyspark.sql import Observation
+
+        self._observations = {}
+
+        def observed(name: str, df: DataFrame) -> DataFrame:
+            obs = Observation(name)
+            self._observations[name] = obs
+            return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
         # ---- stage 1: URL canonicalization (vectorized check_url) ----
         def build_canonical():
             check_udf = make_check_url_udf(strict=cfg.strict, language=cfg.language)
-            return (
+            return observed(
+                "canonical_rows",
                 pages.withColumn("_chk", check_udf(F.col("url")))
-                .where(F.col("_chk.norm_url").isNotNull())
-                .select(
-                    F.xxhash64("url", "warc_ts").alias("doc_id"),
-                    F.col("url").alias("raw_url"),
-                    F.col("_chk.norm_url").alias("norm_url"),
-                    F.col("_chk.domain").alias("domain"),
-                    "warc_ts",
-                    "text",
-                    "lang",
-                )
+                .where(F.col("_chk.norm_url").isNotNull()),
+            ).select(
+                F.xxhash64("url", "warc_ts").alias("doc_id"),
+                F.col("url").alias("raw_url"),
+                F.col("_chk.norm_url").alias("norm_url"),
+                F.col("_chk.domain").alias("domain"),
+                "warc_ts",
+                "text",
+                "lang",
             )
 
         canonical = self._stage("01_canonical", build_canonical, resume, kind="lazy")
@@ -230,7 +242,9 @@ class DedupPipeline:
                 evidence = evidence.unionByName(simhash_pairs)
             if substr_pairs is not None:
                 evidence = evidence.unionByName(substr_pairs)
-            return dedup.cluster_assignments(url_unique, evidence.distinct())
+            return dedup.cluster_assignments(
+                url_unique, observed("evidence_pairs", evidence.distinct())
+            )
 
         clusters = self._stage("08_clusters", build_clusters, resume, kind="lazy")
 
@@ -248,6 +262,11 @@ class DedupPipeline:
             },
             "stages": self.metrics,
             "n_output": output.count() if self.count_rows else None,
+            # observe()-based counters, recorded on the physical pass
+            # itself (no extra jobs); absent for resumed stages
+            "observed": {
+                name: dict(obs.get) for name, obs in self._observations.items()
+            },
         }
         if self.count_rows:
             # per-partition lineage/metrics (north rule): row counts of
