@@ -84,6 +84,43 @@ def make_check_url_udf(
     return check_udf.asNondeterministic()
 
 
+def make_buffer_url_udf(
+    strict: bool = False,
+    language: str | None = None,
+    trailing_slash: bool = True,
+):
+    """Frontier-ingest validation: validate_url -> lang_filter ->
+    normalize_url and nothing else — the reference's _buffer_urls
+    (/root/reference/courlan/urlstore.py:177-198) deliberately skips
+    the content-type/extension/domain filters of check_url, so e.g.
+    numeric archive-looking paths are still storable."""
+    from ..urlkit import lang_filter, validate_url
+
+    @pandas_udf(StringType())
+    def buffer_udf(urls: pd.Series) -> pd.Series:
+        out: list[str | None] = []
+        for url in urls:
+            if not isinstance(url, str):
+                out.append(None)
+                continue
+            try:
+                ok, parsed = validate_url(url)
+                if not ok or parsed is None:
+                    out.append(None)
+                    continue
+                if language is not None and not lang_filter(
+                    url, language, strict, trailing_slash
+                ):
+                    out.append(None)
+                    continue
+                out.append(normalize_url(parsed, strict, language, trailing_slash))
+            except (TypeError, ValueError):
+                out.append(None)
+        return pd.Series(out)
+
+    return buffer_udf.asNondeterministic()
+
+
 def make_normalize_udf(
     strict: bool = False,
     language: str | None = None,

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.url_udfs import host_path_udf, make_check_url_udf
+from ..functions.url_udfs import host_path_udf, make_buffer_url_udf, make_check_url_udf
 
 
 def ingest_urls(
@@ -31,24 +31,39 @@ def ingest_urls(
     visited: bool = False,
     priority: int = 0,
     seq_offset: int = 0,
+    appendleft: bool = False,
 ) -> DataFrame:
     """Validate/normalize raw URLs into frontier rows (the _buffer_urls
     analog, urlstore.py:171-203): invalid and wrong-language rows drop,
-    the rest split into (host, path) with insertion-order seq."""
-    check_udf = make_check_url_udf(
+    the rest split into (host, path) with insertion-order seq.
+
+    ``appendleft=True`` mirrors the reference's deque.extendleft
+    (urlstore.py:256-258): the batch is prioritized AND its internal
+    order reverses — realized here as priority=1 with negated seq, so
+    the deque order (priority desc, seq asc) reproduces left-appends
+    exactly.
+
+    NB: this runs the *buffer* validation (validate+lang+normalize),
+    not the full check_url — matching the reference, which applies the
+    content filters in filter_links before the store, never inside it."""
+    buffer_udf = make_buffer_url_udf(
         strict=strict, language=language, trailing_slash=trailing_slash
     )
     checked = (
-        urls.withColumn("_checked", check_udf(F.col(url_col)))
-        .where(F.col("_checked.norm_url").isNotNull())
-        .withColumn("_hp", host_path_udf(F.col("_checked.norm_url")))
+        urls.withColumn("_norm", buffer_udf(F.col(url_col)))
+        .where(F.col("_norm").isNotNull())
+        .withColumn("_hp", host_path_udf(F.col("_norm")))
         .where(F.col("_hp.host").isNotNull())
     )
+    seq = F.monotonically_increasing_id() + F.lit(seq_offset)
+    if appendleft:
+        seq = -seq
+        priority = max(priority, 1)
     return checked.select(
         F.col("_hp.host").alias("host"),
         F.col("_hp.path").alias("path"),
         F.lit(visited).alias("visited"),
-        (F.monotonically_increasing_id() + F.lit(seq_offset)).alias("seq"),
+        seq.alias("seq"),
         F.lit(priority).alias("priority"),
     )
 
@@ -193,6 +208,19 @@ def get_download_urls(
         .select("host", F.concat("host", "path").alias("url"))
         .orderBy("host")
         .limit(max_urls)
+    )
+
+
+def mark_visited(frontier: DataFrame, picks: DataFrame) -> DataFrame:
+    """Flag (host, path) rows as visited — the batch analog of
+    get_url's in-place mutation (urlstore.py:417-424).  At scale this
+    is an Iceberg MERGE; here it is a broadcast-friendly left join on
+    the (small) pick set."""
+    flags = picks.select("host", "path").distinct().withColumn("_hit", F.lit(True))
+    return (
+        frontier.join(flags, ["host", "path"], "left")
+        .withColumn("visited", F.col("visited") | F.coalesce("_hit", F.lit(False)))
+        .drop("_hit")
     )
 
 

@@ -1,0 +1,97 @@
+"""Crawl-lifecycle scenario ported from the reference store suite
+(/root/reference/tests/urlstore_tests.py:192-395), re-expressed in
+batch semantics: ingest -> counts/state -> appendleft priority with
+extendleft ordering -> variant dedup -> sequential pulls with
+mark_visited -> membership probes -> schedule quotas."""
+
+from pyspark.sql import functions as F
+
+from courlan_spark.operators import frontier
+
+DOM = "https://www.example.org"
+TEST = "https://test.org"
+
+
+def _ingest(spark, urls, **kw):
+    df = spark.createDataFrame([(u,) for u in urls], "url string").coalesce(1)
+    return frontier.ingest_urls(df, **kw).coalesce(1)
+
+
+def test_crawl_lifecycle(spark):
+    example_urls = [f"{DOM}/{a}" for a in range(100)]
+    test_urls = [f"{TEST}/{a}" for a in range(100)]
+
+    store = _ingest(spark, example_urls + test_urls).cache()
+    assert store.count() == 200
+    aggregates = {r["host"]: r for r in frontier.host_aggregates(store).collect()}
+    assert aggregates[DOM]["total"] == 100 and aggregates[DOM]["state"] == "OPEN"
+
+    # a fully-visited host is exhausted; adding an unvisited URL reopens it
+    visited_store = store.unionByName(
+        _ingest(spark, ["https://visited.com/visited"], visited=True, seq_offset=10_000)
+    )
+    states = {r["host"]: r["state"] for r in frontier.host_aggregates(visited_store).collect()}
+    assert states["https://visited.com"] == "ALL_VISITED"
+    reopened = visited_store.unionByName(
+        _ingest(spark, ["https://visited.com/1"], seq_offset=20_000)
+    )
+    states = {r["host"]: r["state"] for r in frontier.host_aggregates(reopened).collect()}
+    assert states["https://visited.com"] == "OPEN"
+
+    # appendleft batch: trailing-slash forms normalize away, the batch
+    # takes priority, and extendleft ordering puts the LAST added first
+    right_batch = _ingest(spark, [f"{DOM}/1/{a}" for a in range(10)], seq_offset=1_000)
+    left_batch = _ingest(
+        spark,
+        [f"{DOM}/1/{a}/" for a in range(11)],
+        trailing_slash=False,
+        appendleft=True,
+        seq_offset=2_000,
+    )
+    merged = frontier.dedup_variants(
+        store.unionByName(right_batch).unionByName(left_batch)
+    ).cache()
+    # /1/0../1/9 collapse with their slash variants; /1/10 is new
+    assert merged.where(F.col("host") == DOM).count() == 100 + 11
+
+    # sequential pulls follow deque order: /1/10 first, then /1/9
+    picks = frontier.next_urls(merged.where(F.col("host") == DOM), per_host=2)
+    pulled = [r["url"] for r in picks.orderBy("rn").collect()]
+    assert pulled == [f"{DOM}/1/10", f"{DOM}/1/9"]
+
+    # mark them visited: they leave the unvisited set, counts move
+    after = frontier.mark_visited(merged, picks).cache()
+    unvisited_paths = {
+        r["path"] for r in after.where((F.col("host") == DOM) & ~F.col("visited")).collect()
+    }
+    assert "/1/10" not in unvisited_paths and "/1/9" not in unvisited_paths
+    aggregates = {r["host"]: r for r in frontier.host_aggregates(after).collect()}
+    assert aggregates[DOM]["visited_count"] == 2
+
+    # membership probes (is_known / has_been_visited analogs)
+    probe = spark.createDataFrame(
+        [
+            (f"{TEST}/category/this",),
+            (f"{DOM}/1",),
+            ("https://otherdomain.org/",),
+        ],
+        "url string",
+    )
+    unknown = {r["url"] for r in frontier.filter_unknown_urls(after, probe).collect()}
+    assert unknown == {f"{TEST}/category/this", "https://otherdomain.org/"}
+
+    probe2 = spark.createDataFrame(
+        [(f"{DOM}/1/10",), (f"{DOM}/this",), (f"{DOM}/999",)], "url string"
+    )
+    unvisited = {
+        r["url"] for r in frontier.filter_unvisited_urls(after, probe2).collect()
+    }
+    assert unvisited == {f"{DOM}/this", f"{DOM}/999"}
+
+    # schedule: quota max_urls // open_hosts, spaced by time_limit
+    schedule = frontier.download_schedule(after, max_urls=6, time_limit=1.0).collect()
+    assert len(schedule) == 6
+    assert max(r["schedule_secs"] for r in schedule) == 2.0  # 3 per host
+    assert frontier.download_threshold_reached(after, 3) is False
+    assert frontier.download_threshold_reached(after, 2) is True
+    assert frontier.is_done(after) is False
