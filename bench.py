@@ -31,7 +31,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
 WITH_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # N vs 4N proxy: local[4] vs local[16].  The box advertises 32 CPUs
 # but a pure-CPU calibration (32 single-thread processes) delivers

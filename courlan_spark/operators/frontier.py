@@ -242,12 +242,16 @@ def download_threshold_reached(frontier: DataFrame, threshold: float) -> bool:
 def save_frontier(frontier: DataFrame, path: str) -> None:
     """Persist the frontier as a snapshot (UrlStore.write analog,
     urlstore.py:573-583; Iceberg `writeTo` seam at scale)."""
-    frontier.write.mode("overwrite").parquet(path)
+    from ..sources.tables import write_snapshot
+
+    write_snapshot(frontier, path)
 
 
 def load_frontier(spark, path: str) -> DataFrame:
     "Restore a frontier snapshot (load_store analog)."
-    return spark.read.parquet(path)
+    from ..sources.tables import read_snapshot
+
+    return read_snapshot(spark, path)
 
 
 def _probe_host_path(probe: DataFrame, url_col: str) -> DataFrame:

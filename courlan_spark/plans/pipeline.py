@@ -54,17 +54,13 @@ class DedupConfig:
     extra: dict = field(default_factory=dict)
 
 
+from ..sources.tables import has_snapshot as _has_snapshot
+from ..sources.tables import read_snapshot as _read_snapshot
+from ..sources.tables import write_snapshot as _write_snapshot
+
+
 def _snapshot_path(workdir: str, stage: str) -> str:
     return os.path.join(workdir, stage)
-
-
-def _has_snapshot(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
-
-
-def _write_snapshot(df: DataFrame, path: str) -> None:
-    # Iceberg-ready seam: replace with df.writeTo(table).createOrReplace()
-    df.write.mode("overwrite").parquet(path)
 
 
 class DedupPipeline:
@@ -96,14 +92,14 @@ class DedupPipeline:
         path = _snapshot_path(self.workdir, name)
         started = time.time()
         if resume and _has_snapshot(path):
-            df = self.spark.read.parquet(path)
+            df = _read_snapshot(self.spark, path)
             self.metrics.append(
                 {"stage": name, "resumed": True, "secs": round(time.time() - started, 3)}
             )
             return df
         df = build()
         _write_snapshot(df, path)
-        out = self.spark.read.parquet(path)
+        out = _read_snapshot(self.spark, path)
         metric = {
             "stage": name,
             "resumed": False,
@@ -286,4 +282,4 @@ class DedupPipeline:
         return summary
 
     def assignments(self) -> DataFrame:
-        return self.spark.read.parquet(_snapshot_path(self.workdir, "09_assignments"))
+        return _read_snapshot(self.spark, _snapshot_path(self.workdir, "09_assignments"))

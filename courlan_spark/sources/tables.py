@@ -1,0 +1,57 @@
+"""Table layer: snapshot-style checkpoints behind one seam.
+
+The north rule targets Iceberg tables (snapshots, MERGE, bucket
+layout).  The Iceberg runtime jar is not available offline in this
+sandbox, so the default backend is a parquet directory that provides
+the same contract the engine relies on (atomic-enough overwrite via
+_SUCCESS markers, snapshot read-back, append).  On a cluster, set
+``SPARK_GRAFT_TABLE_FORMAT=iceberg`` (with the runtime jar and a
+catalog configured) and the same calls become Iceberg DDL:
+
+    parquet backend            iceberg backend
+    ---------------            ---------------
+    overwrite -> dir rewrite   df.writeTo(name).createOrReplace()
+    append    -> parquet add   df.writeTo(name).append()
+    read      -> read.parquet  spark.read.table(name)
+
+Every pipeline/frontier persistence path routes through this module,
+so the swap is a config change, not a code change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_FORMAT = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+
+
+def write_snapshot(df: DataFrame, target: str) -> None:
+    "Replace the table/directory contents with df (new snapshot)."
+    if TABLE_FORMAT == "iceberg":
+        df.writeTo(target).createOrReplace()
+    else:
+        df.write.mode("overwrite").parquet(target)
+
+
+def append_rows(df: DataFrame, target: str) -> None:
+    "Append rows to the table/directory."
+    if TABLE_FORMAT == "iceberg":
+        df.writeTo(target).append()
+    else:
+        df.write.mode("append").parquet(target)
+
+
+def read_snapshot(spark: SparkSession, target: str) -> DataFrame:
+    "Read the current snapshot."
+    if TABLE_FORMAT == "iceberg":
+        return spark.read.table(target)
+    return spark.read.parquet(target)
+
+
+def has_snapshot(target: str) -> bool:
+    "True when a committed snapshot exists (parquet backend only)."
+    if TABLE_FORMAT == "iceberg":
+        return True  # existence is the catalog's concern
+    return os.path.exists(os.path.join(target, "_SUCCESS"))
