@@ -297,16 +297,28 @@ def make_simhash_udf():
 
 
 def make_jaccard_udf(shingle_k: int = DEFAULT_SHINGLE_K):
-    "(text_a, text_b) -> double exact Jaccard on k-char shingles."
+    """(text_a, text_b) -> double exact Jaccard on k-char shingles.
+
+    Documents appear in several candidate pairs, so shingle sets are
+    cached per batch (keyed by the text object); pairs co-partitioned
+    by doc id concentrate the repeats and raise the hit rate."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = []
-        for text_a, text_b in zip(a, b):
-            sa = shingle_hashes(text_a if isinstance(text_a, str) else "", shingle_k)
-            sb = shingle_hashes(text_b if isinstance(text_b, str) else "", shingle_k)
-            out.append(jaccard(sa, sb))
+        cache: dict[str, np.ndarray] = {}
+
+        def sh(text):
+            if not isinstance(text, str):
+                text = ""
+            got = cache.get(text)
+            if got is None:
+                got = shingle_hashes(text, shingle_k)
+                if len(cache) < 65536:
+                    cache[text] = got
+            return got
+
+        out = [jaccard(sh(ta), sh(tb)) for ta, tb in zip(a, b)]
         return pd.Series(out, dtype="float64")
 
     return jaccard_udf

@@ -168,7 +168,11 @@ def verify_pairs_jaccard(
 
     jaccard_udf = hashing.make_jaccard_udf(shingle_k=shingle_k)
     texts = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    pairs = pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
+    # co-partition by doc_a: a document's pairs land together, so the
+    # per-batch shingle cache in the Jaccard kernel actually hits
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism, "doc_a"
+    )
     verified = (
         pairs.join(
             texts.select(F.col("_id").alias("doc_a"), F.col("_text").alias("text_a")),
