@@ -42,7 +42,7 @@ def parse_args(args: list[str] | None = None) -> argparse.Namespace:
 
 
 def process_args(args: argparse.Namespace, spark: SparkSession | None = None) -> None:
-    from .operators.frontier import dedup_variants, ingest_urls, merge_scheme_variants
+    from .operators.frontier import exact_path_dedup, ingest_urls, merge_scheme_variants
     from .operators.sampling import sample_per_domain
     from .sources.urlfile import check_urls, read_url_list, write_two_sinks
 
@@ -56,7 +56,7 @@ def process_args(args: argparse.Namespace, spark: SparkSession | None = None) ->
     try:
         urls = read_url_list(spark, args.inputfile)
         if args.sample:
-            frontier = dedup_variants(
+            frontier = exact_path_dedup(
                 merge_scheme_variants(
                     ingest_urls(urls, strict=args.strict, language=args.language)
                 )

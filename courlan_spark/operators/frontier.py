@@ -93,14 +93,52 @@ def merge_scheme_variants(frontier: DataFrame) -> DataFrame:
     )
 
 
-def dedup_variants(frontier: DataFrame) -> DataFrame:
-    """Variant dedup on insert (urlstore.py:246-258 via is_known_link):
-    all ±trailing-slash path variants collapse to the earliest row
-    (min priority-respecting seq)."""
-    canon = F.when(F.col("path") == "/", F.lit("/")).otherwise(
+def _canon_path():
+    # built lazily: Column construction needs an active SparkContext
+    return F.when(F.col("path") == "/", F.lit("/")).otherwise(
         F.regexp_replace("path", r"/+$", "")
     )
-    w = Window.partitionBy("host", canon).orderBy(
+
+
+def exact_path_dedup(batch: DataFrame) -> DataFrame:
+    """Within-batch dedup: exact (host, path) only, first occurrence
+    wins — the reference's dict.fromkeys(data) in _buffer_urls
+    (urlstore.py:175).  Trailing-slash *variants* survive inside one
+    batch; the variant test only runs against the existing store."""
+    w = Window.partitionBy("host", "path").orderBy(
+        F.col("priority").desc(), F.col("seq").asc()
+    )
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_new_urls(frontier: DataFrame, batch: DataFrame) -> DataFrame:
+    """Cross-batch insert (urlstore.py:246-258): a batch row is new iff
+    no ±trailing-slash variant of its path is already stored for the
+    host (is_known_link's slash variants collapse onto one canonical
+    key) — a left-anti join, then union.  Iceberg MERGE at scale."""
+    batch = exact_path_dedup(batch)
+    known = frontier.select(
+        "host", _canon_path().alias("_canon")
+    ).distinct()
+    fresh = (
+        batch.withColumn("_canon", _canon_path())
+        .join(known, ["host", "_canon"], "left_anti")
+        .drop("_canon")
+    )
+    return frontier.unionByName(fresh)
+
+
+def dedup_variants(frontier: DataFrame) -> DataFrame:
+    """Batch-global variant collapse: all ±trailing-slash variants of a
+    path reduce to the earliest row.  Strictly stronger than the
+    reference's insert-time behavior (which keeps within-batch
+    variants — see exact_path_dedup/merge_new_urls); useful when the
+    whole frontier is rebuilt at once."""
+    w = Window.partitionBy("host", _canon_path()).orderBy(
         F.col("priority").desc(), F.col("seq").asc()
     )
     return (

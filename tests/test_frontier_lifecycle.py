@@ -48,23 +48,25 @@ def test_crawl_lifecycle(spark):
         appendleft=True,
         seq_offset=2_000,
     )
-    merged = frontier.dedup_variants(
-        store.unionByName(right_batch).unionByName(left_batch)
+    merged = frontier.merge_new_urls(
+        frontier.merge_new_urls(store, right_batch), left_batch
     ).cache()
     # /1/0../1/9 collapse with their slash variants; /1/10 is new
     assert merged.where(F.col("host") == DOM).count() == 100 + 11
 
-    # sequential pulls follow deque order: /1/10 first, then /1/9
+    # sequential pulls follow deque order: the prepended /1/10 first,
+    # then the original head /0 (matches the reference deque, where
+    # extendleft added only the one unknown path before the old head)
     picks = frontier.next_urls(merged.where(F.col("host") == DOM), per_host=2)
     pulled = [r["url"] for r in picks.orderBy("rn").collect()]
-    assert pulled == [f"{DOM}/1/10", f"{DOM}/1/9"]
+    assert pulled == [f"{DOM}/1/10", f"{DOM}/0"]
 
     # mark them visited: they leave the unvisited set, counts move
     after = frontier.mark_visited(merged, picks).cache()
     unvisited_paths = {
         r["path"] for r in after.where((F.col("host") == DOM) & ~F.col("visited")).collect()
     }
-    assert "/1/10" not in unvisited_paths and "/1/9" not in unvisited_paths
+    assert "/1/10" not in unvisited_paths and "/0" not in unvisited_paths
     aggregates = {r["host"]: r for r in frontier.host_aggregates(after).collect()}
     assert aggregates[DOM]["visited_count"] == 2
 
@@ -82,7 +84,7 @@ def test_crawl_lifecycle(spark):
 
     probe2 = spark.createDataFrame(
         [(f"{DOM}/1/10",), (f"{DOM}/this",), (f"{DOM}/999",)], "url string"
-    )
+    )  # /999 is outside the generated range 0..99
     unvisited = {
         r["url"] for r in frontier.filter_unvisited_urls(after, probe2).collect()
     }
