@@ -293,6 +293,36 @@ def q_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash computed natively in SQL (md5 token hashes,
+    per-bit weighted majority) — the fingerprint bit math checked
+    bit-for-bit against DuckDB."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        WITH toks AS (
+            SELECT doc_id, tok, count(*) AS w
+            FROM documents LATERAL VIEW explode(split(trim(text), ' ')) tt AS tok
+            WHERE doc_id < 40 AND length(trim(text)) > 0
+            GROUP BY doc_id, tok),
+        hashed AS (
+            SELECT doc_id, w,
+                   cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint) AS h
+            FROM toks),
+        bits AS (
+            SELECT doc_id, i,
+                   sum(CASE WHEN (h >> i) & 1 = 1 THEN w ELSE -w END) AS acc
+            FROM hashed LATERAL VIEW explode(sequence(0, 59)) bb AS i
+            GROUP BY doc_id, i)
+        SELECT doc_id,
+               cast(sum(CASE WHEN acc >= 0
+                             THEN shiftleft(cast(1 as bigint), i)
+                             ELSE 0 END) as bigint) AS simhash60
+        FROM bits GROUP BY doc_id
+        """
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Brute-force 9-gram Jaccard pairs (ground truth for the LSH path)."
     _views(spark, sf_dir, "documents")
@@ -545,6 +575,26 @@ ORACLES: dict[str, str] = {
         )
         + " FROM documents WHERE length(text) >= 9 AND doc_id < 60"
     ),
+    "q_simhash_sql": """
+        WITH toks AS (
+            SELECT doc_id, t.tok AS tok, count(*) AS w
+            FROM documents, unnest(string_split(trim(text), ' ')) AS t(tok)
+            WHERE doc_id < 40 AND length(trim(text)) > 0
+            GROUP BY doc_id, t.tok),
+        hashed AS (
+            SELECT doc_id, w,
+                   cast(concat('0x', substr(md5(tok), 1, 15)) as bigint) AS h
+            FROM toks),
+        bits AS (
+            SELECT doc_id, b.i AS i,
+                   sum(CASE WHEN (h >> b.i) & 1 = 1 THEN w ELSE -w END) AS acc
+            FROM hashed CROSS JOIN unnest(generate_series(0, 59)) AS b(i)
+            GROUP BY doc_id, b.i)
+        SELECT doc_id,
+               cast(sum(CASE WHEN acc >= 0 THEN (cast(1 as bigint) << i)
+                             ELSE 0 END) as bigint) AS simhash60
+        FROM bits GROUP BY doc_id
+    """,
     "q_ngram_jaccard_pairs": """
         WITH sh AS (
             SELECT DISTINCT doc_id, substr(text, t.i, 9) AS shingle
@@ -658,6 +708,7 @@ QUERIES = {
     "q_domain_sample": q_domain_sample,
     "q_exact_text_dedup": q_exact_text_dedup,
     "q_minhash_sql": q_minhash_sql,
+    "q_simhash_sql": q_simhash_sql,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_token_stats": q_token_stats,
     "q_quality_scores": q_quality_scores,
