@@ -68,3 +68,40 @@ def test_pipeline_with_language_filter(spark):
         assert result["recall"] >= 0.99
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_partial_resume_after_failure(spark):
+    "Simulated mid-run failure: later snapshots destroyed, earlier kept. Resume must reuse the early stages, rebuild the rest, and produce identical assignments."
+    import os
+    import shutil
+    import tempfile
+
+    full = generate_pages(spark, 600).cache()
+    workdir = tempfile.mkdtemp(prefix="dedup_partial_")
+    try:
+        pipe = DedupPipeline(spark, workdir, DedupConfig(jaccard_threshold=0.6))
+        pipe.run(pages_view(full))
+        before = sorted(
+            (r["doc_id"], r["cluster_id"]) for r in pipe.assignments().collect()
+        )
+        # destroy everything from the minhash stage onward
+        for stage in os.listdir(workdir):
+            if stage >= "05" and os.path.isdir(os.path.join(workdir, stage)):
+                shutil.rmtree(os.path.join(workdir, stage))
+
+        pipe2 = DedupPipeline(spark, workdir, DedupConfig(jaccard_threshold=0.6))
+        summary = pipe2.run(pages_view(full), resume=True)
+        resumed = {m["stage"] for m in summary["stages"] if m.get("resumed")}
+        rebuilt = {
+            m["stage"]
+            for m in summary["stages"]
+            if m.get("resumed") is False
+        }
+        assert "01_canonical" in resumed and "04_signatures" in resumed
+        assert "05_minhash_pairs" in rebuilt and "08_clusters" in rebuilt
+        after = sorted(
+            (r["doc_id"], r["cluster_id"]) for r in pipe2.assignments().collect()
+        )
+        assert before == after
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
