@@ -118,6 +118,62 @@ def lsh_candidate_pairs(
     return pairs, dropped
 
 
+def lsh_candidate_pairs_bucketed(
+    signatures: DataFrame,
+    table_name: str,
+    bands: int = hashing.DEFAULT_BANDS,
+    n_buckets: int = 64,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """LSH candidate join over a *bucketed* band table (SURVEY.md §4
+    item 3): band keys are materialized once into a managed table
+    bucketed+sorted by band_key, so the self-join (and any re-run
+    against the same table) is exchange-free — both join inputs arrive
+    pre-partitioned and pre-sorted.  Verified by
+    tests/test_bucketed_layout.py, which asserts the physical plan has
+    no Exchange under the join."""
+    spark = signatures.sparkSession
+    band_udf = hashing.make_band_hash_udf(bands=bands)
+    buckets = signatures.select(
+        "doc_id", F.explode(band_udf("signature")).alias("band_key")
+    )
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band_key").agg(F.count("*").alias("sz"))
+        buckets = buckets.join(
+            sizes.where(
+                (F.col("sz") > 1) & (F.col("sz") <= max_bucket_size)
+            ).select("band_key"),
+            "band_key",
+        )
+    # replace any prior table AND its on-disk location (a dropped
+    # managed table can leave the directory behind after a failed run)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").replace("file:", "")
+    leftover = os.path.join(warehouse, table_name.lower())
+    if warehouse and os.path.isdir(leftover):
+        shutil.rmtree(leftover, ignore_errors=True)
+    (
+        buckets.write.mode("overwrite")
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(table_name)
+    )
+    stored = spark.table(table_name)
+    left = stored.select("band_key", F.col("doc_id").alias("doc_a"))
+    right = stored.select("band_key", F.col("doc_id").alias("doc_b"))
+    # MERGE hint: sort-merge is the strategy that exploits the bucketed
+    # sorted layout (broadcast would be chosen for tiny test tables)
+    return (
+        left.hint("merge").join(right, "band_key")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def verify_pairs_jaccard(
     pairs: DataFrame,
     docs: DataFrame,
