@@ -5,6 +5,16 @@ DataFrame-only implementation of the alternating star algorithm
 SoCC'14), per the north rule (/root/repo/BASELINE.json:6,14):
 self-joins with checkpointed lineage, O(log n) rounds expected.
 
+Scale/serial-term design (round 2):
+* each star step is ONE shuffle: the per-src minimum comes from a
+  window aggregate over the src partitioning instead of a
+  groupBy+join pair, so the self-join disappears from the plan;
+* convergence detection rides the localCheckpoint materialization via
+  ``observe()`` — the edge-count + order-insensitive bit_xor signature
+  are collected on the same job that cuts the lineage, so the fixpoint
+  loop costs zero extra actions per round (the round-1 design paid one
+  ``agg().first()`` job per round, a pure driver-serial term).
+
 Contract: input is an edge list (src, dst); output assigns every node
 appearing in the edge list to component id = the minimum node id in
 its component.  Singleton handling (nodes with no edges) is the
@@ -13,18 +23,17 @@ caller's job — see operators.dedup.cluster_assignments.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
     # for each u: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    mins = sym.groupBy("src").agg(
-        F.least(F.min("dst"), F.first("src")).alias("m")
-    )
+    w = Window.partitionBy("src")
+    m = F.least(F.min("dst").over(w), F.col("src"))
     return (
-        sym.join(mins, "src")
+        sym.withColumn("m", m)
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .distinct()
@@ -36,11 +45,11 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
-    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    joined = oriented.join(mins, "src")
+    w = Window.partitionBy("src")
+    withm = oriented.withColumn("m", F.min("dst").over(w))
     # emit (v, m) for each small neighbor v, plus (u, m)
-    out = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
-        joined.select(F.col("src"), F.col("m").alias("dst"))
+    out = withm.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+        withm.select(F.col("src"), F.col("m").alias("dst"))
     )
     return out.where(F.col("src") != F.col("dst")).distinct()
 
@@ -57,6 +66,12 @@ def connected_components(
     appears in `edges`; component = min node id of the component.
     Lineage is cut with localCheckpoint each round so the loop's plan
     stays bounded (north-rule requirement: checkpointed lineage).
+
+    Fixpoint test: the edge multiset is stable under a cheap signature
+    (count + bit_xor of xxhash64 — overflow-free under ANSI mode and
+    order-insensitive), observed on the checkpoint job itself.
+    Duplicate-cluster graphs (near-cliques from bucket joins) need 2-3
+    star rounds, so the probe only starts at `check_from_iteration`.
     """
     current = (
         edges.selectExpr("cast(src as long) src", "cast(dst as long) dst")
@@ -65,23 +80,23 @@ def connected_components(
         .localCheckpoint()
     )
 
-    # fixpoint test: edge multiset stable under a cheap signature
-    # (bit_xor is overflow-free under ANSI mode and order-insensitive).
-    # Duplicate-cluster graphs (near-cliques from bucket joins) need
-    # 2-3 star rounds, so the convergence probe — one agg action per
-    # round — only starts at `check_from_iteration`.
-    sig_expr = [
-        F.count("*").alias("n"),
-        F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
-    ]
     prev_sig = None
-
     for iteration in range(max_iterations):
         stepped = _small_star(_large_star(current))
-        stepped = stepped.localCheckpoint() if (iteration % checkpoint_every == 0) else stepped
-        current = stepped
+        obs = None
         if iteration + 1 >= check_from_iteration:
-            next_sig = current.agg(*sig_expr).first()
+            obs = Observation(f"cc_sig_{iteration}")
+            stepped = stepped.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+            )
+        if iteration % checkpoint_every == 0 or obs is not None:
+            stepped = stepped.localCheckpoint()
+        current = stepped
+        if obs is not None:
+            row = obs.get
+            next_sig = (row["n"], row["h"])
             if next_sig == prev_sig:
                 break
             prev_sig = next_sig

@@ -78,10 +78,160 @@ def minhash_signatures(
     )
 
 
+def capped_buckets(
+    exploded: DataFrame,
+    key_col: str,
+    max_bucket_size: int | None,
+    min_bucket_size: int = 2,
+    observation=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Annotate bucket membership rows with their bucket size via a
+    window aggregate (ONE shuffle on the key — no groupBy+join pair)
+    and split into (kept, dropped).  The kept side arrives hash-
+    partitioned and sorted by the key, so a following self-join on the
+    same key reuses the exchange.  dropped carries one row per
+    oversized bucket for the no-silent-caps accounting."""
+    from pyspark.sql import Window
+
+    sized = exploded.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy(key_col))
+    )
+    if observation is not None:
+        raise ValueError(
+            "capped_buckets cannot observe: the windowed plan is cloned "
+            "into both sides of a following self-join, which duplicates "
+            "the CollectMetrics node; use bucket_pair_explode instead"
+        )
+    upper = (
+        (F.col("bucket_size") <= max_bucket_size)
+        if max_bucket_size is not None
+        else F.lit(True)
+    )
+    kept = sized.where((F.col("bucket_size") >= min_bucket_size) & upper)
+    if max_bucket_size is not None:
+        dropped = (
+            sized.where(F.col("bucket_size") > max_bucket_size)
+            .groupBy(key_col)
+            .agg(F.first("bucket_size").alias("bucket_size"))
+        )
+    else:
+        dropped = sized.where(F.lit(False)).select(key_col, "bucket_size")
+    return kept, dropped
+
+
+def bucket_pair_explode(
+    exploded: DataFrame,
+    key_col: str,
+    max_bucket_size: int | None,
+    observation=None,
+    payload_col: str | None = None,
+    out_payload: tuple[str, str] = ("payload_a", "payload_b"),
+) -> DataFrame:
+    """One-shuffle candidate generation over (doc_id[, payload], key)
+    bucket membership rows: group the members per key (bounded by
+    ``max_bucket_size``), and expand the i<j pairs with native array
+    expressions — the whole candidate stage is a single hash
+    aggregation, where the window+self-join formulation costs a
+    shuffle+sort plus a sort-merge join over the same data.
+
+    The sorted member array makes doc_a < doc_b by construction.
+    ``observation`` (optional pyspark Observation) records
+    dropped-bucket accounting on the aggregation pass itself — no
+    count() job, and the node executes exactly once (attaching metrics
+    below a self-join would clone the CollectMetrics node and break
+    Observation.get).  Callers passing an observation must act on the
+    returned pairs exactly once.
+    """
+    if payload_col is None:
+        member = F.col("doc_id")
+    else:
+        member = F.struct(
+            F.col("doc_id").alias("id"), F.col(payload_col).alias("pl")
+        )
+    grouped = exploded.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(member)).alias("ids")
+    )
+    if observation is not None:
+        cap = max_bucket_size if max_bucket_size is not None else (1 << 62)
+        grouped = grouped.observe(
+            observation,
+            F.sum((F.size("ids") > cap).cast("long")).alias("dropped_buckets"),
+            F.sum(
+                F.when(F.size("ids") > cap, F.size("ids")).otherwise(0).cast("long")
+            ).alias("dropped_rows"),
+            F.count(F.lit(1)).alias("buckets"),
+        )
+    upper = (
+        (F.size("ids") <= max_bucket_size)
+        if max_bucket_size is not None
+        else F.lit(True)
+    )
+    kept = grouped.where((F.size("ids") >= 2) & upper)
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    ).alias("p")
+    pairs = kept.select(pair_expr)
+    if payload_col is None:
+        # strict < also drops self-pairs from a doc landing twice in
+        # one bucket (possible under key collisions across bands)
+        return pairs.where(F.col("p.a") < F.col("p.b")).select(
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+        )
+    return pairs.where(F.col("p.a.id") < F.col("p.b.id")).select(
+        F.col("p.a.id").alias("doc_a"),
+        F.col("p.b.id").alias("doc_b"),
+        F.col("p.a.pl").alias(out_payload[0]),
+        F.col("p.b.pl").alias(out_payload[1]),
+    )
+
+
+def attach_pair_payloads(
+    pairs: DataFrame,
+    table: DataFrame,
+    id_col: str,
+    payload_col: str,
+    out_a: str,
+    out_b: str,
+) -> DataFrame:
+    """Fetch a payload column for BOTH sides of (doc_a, doc_b) pairs
+    with a single join against ``table``: explode each pair to one row
+    per side, join on the id, and fold back with a conditional agg.
+    The heavy table is shuffled once instead of twice (the round-1
+    verify join shipped the full text column through two exchanges —
+    PLANS.md known gap, closed here)."""
+    tagged = pairs.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("_pid")
+    )
+    payload = table.select(
+        F.col(id_col).alias("_pid"), F.col(payload_col).alias("_payload")
+    )
+    return (
+        tagged.join(payload, "_pid")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(
+                F.when(F.col("_pid") == F.col("doc_a"), F.col("_payload"))
+            ).alias(out_a),
+            F.max(
+                F.when(F.col("_pid") == F.col("doc_b"), F.col("_payload"))
+            ).alias(out_b),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = hashing.DEFAULT_BANDS,
     max_bucket_size: int | None = 1000,
+    observation=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Banded LSH: signature -> band bucket keys -> bucket self-join.
 
@@ -94,27 +244,16 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "doc_id", F.explode(band_udf("signature")).alias("band_key")
     )
-
-    sizes = buckets.groupBy("band_key").agg(F.count("*").alias("bucket_size"))
+    pairs = bucket_pair_explode(
+        buckets, "band_key", max_bucket_size, observation=observation
+    ).distinct()
     if max_bucket_size is not None:
+        sizes = buckets.groupBy("band_key").agg(F.count("*").alias("bucket_size"))
         dropped = sizes.where(F.col("bucket_size") > max_bucket_size)
-        keep = sizes.where(
-            (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size)
-        )
     else:
-        dropped = sizes.where(F.lit(False))
-        keep = sizes.where(F.col("bucket_size") > 1)
-
-    # prune singleton/oversized buckets before the self-join
-    pruned = buckets.join(keep.select("band_key"), "band_key")
-    left = pruned.select(F.col("band_key"), F.col("doc_id").alias("doc_a"))
-    right = pruned.select(F.col("band_key"), F.col("doc_id").alias("doc_b"))
-    pairs = (
-        left.join(right, "band_key")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+        dropped = buckets.groupBy("band_key").agg(
+            F.count("*").alias("bucket_size")
+        ).where(F.lit(False))
     return pairs, dropped
 
 
@@ -193,52 +332,30 @@ def verify_pairs_jaccard(
     Returns (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold.
     """
     if signatures is not None:
-        est = (
-            pairs.join(
-                signatures.select(
-                    F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")
-                ),
-                "doc_a",
-            )
-            .join(
-                signatures.select(
-                    F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")
-                ),
-                "doc_b",
-            )
-            .withColumn(
-                "est_jaccard",
-                F.aggregate(
-                    F.zip_with(
-                        "sig_a", "sig_b", lambda a, b: (a == b).cast("int")
-                    ),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
-                ).cast("double")
-                / F.size("sig_a"),
-            )
+        est = attach_pair_payloads(
+            pairs, signatures, "doc_id", "signature", "sig_a", "sig_b"
+        ).withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size("sig_a"),
         )
         pairs = est.where(
             F.col("est_jaccard") >= F.lit(threshold - estimate_margin)
         ).select("doc_a", "doc_b")
 
     jaccard_udf = hashing.make_jaccard_udf(shingle_k=shingle_k)
-    texts = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    paired = attach_pair_payloads(pairs, docs, id_col, text_col, "text_a", "text_b")
     # co-partition by doc_a: a document's pairs land together, so the
     # per-batch shingle cache in the Jaccard kernel actually hits
-    pairs = pairs.repartition(
-        pairs.sparkSession.sparkContext.defaultParallelism, "doc_a"
+    paired = paired.repartition(
+        paired.sparkSession.sparkContext.defaultParallelism, "doc_a"
     )
     verified = (
-        pairs.join(
-            texts.select(F.col("_id").alias("doc_a"), F.col("_text").alias("text_a")),
-            "doc_a",
-        )
-        .join(
-            texts.select(F.col("_id").alias("doc_b"), F.col("_text").alias("text_b")),
-            "doc_b",
-        )
-        .withColumn("jaccard", jaccard_udf("text_a", "text_b"))
+        paired.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -295,19 +412,15 @@ def simhash_candidate_pairs(
         F.col("simhash"),
         F.explode(F.array(*keys)).alias("block_key"),
     )
-    if max_bucket_size is not None:
-        sizes = fp.groupBy("block_key").agg(F.count("*").alias("sz"))
-        fp = fp.join(
-            sizes.where(F.col("sz") <= max_bucket_size).select("block_key"),
-            "block_key",
-        )
-    left = fp.select("block_key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
-    right = fp.select("block_key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    pairs = bucket_pair_explode(
+        fp,
+        "block_key",
+        max_bucket_size,
+        payload_col="simhash",
+        out_payload=("fp_a", "fp_b"),
+    )
     return (
-        left.join(right, "block_key")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.col("fp_a"), F.col("fp_b"))
-        .distinct()
+        pairs.distinct()
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

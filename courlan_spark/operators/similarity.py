@@ -249,11 +249,9 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("vec"),
         F.explode(bucket_udf(F.col(vec_col))).alias("bucket"),
     )
-    if max_bucket_size is not None:
-        sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("sz"))
-        bucketed = bucketed.join(
-            sizes.where(F.col("sz") <= max_bucket_size).select("bucket"), "bucket"
-        )
+    from .dedup import capped_buckets
+
+    bucketed, _ = capped_buckets(bucketed, "bucket", max_bucket_size)
     left = bucketed.select("bucket", F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
     right = bucketed.select("bucket", F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
     cos = _cosine_expr(F.col("va"), F.col("vb"))

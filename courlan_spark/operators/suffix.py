@@ -141,21 +141,15 @@ def substring_candidate_pairs(
     site families; they are excluded here and belong to the exact-text
     / MinHash paths.
     """
+    from .dedup import bucket_pair_explode
+
     udf = make_winnow_udf(k, w)
     source = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     fps = source.select(
         F.col(id_col).alias("doc_id"), F.explode(udf(F.col(text_col))).alias("fp")
     )
-    if max_bucket_size is not None:
-        sizes = fps.groupBy("fp").agg(F.count("*").alias("sz"))
-        fps = fps.join(
-            sizes.where(F.col("sz") <= max_bucket_size).select("fp"), "fp"
-        )
-    left = fps.select("fp", F.col("doc_id").alias("doc_a"))
-    right = fps.select("fp", F.col("doc_id").alias("doc_b"))
     joined = (
-        left.join(right, "fp")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        bucket_pair_explode(fps, "fp", max_bucket_size)
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_fps"))
     )
@@ -184,16 +178,14 @@ def verify_substring_pairs(
             dtype="int32",
         )
 
-    texts = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    pairs = pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
+    from .dedup import attach_pair_payloads
+
+    paired = attach_pair_payloads(pairs, docs, id_col, text_col, "ta", "tb")
+    paired = paired.repartition(
+        paired.sparkSession.sparkContext.defaultParallelism
+    )
     return (
-        pairs.join(
-            texts.select(F.col("_id").alias("doc_a"), F.col("_text").alias("ta")), "doc_a"
-        )
-        .join(
-            texts.select(F.col("_id").alias("doc_b"), F.col("_text").alias("tb")), "doc_b"
-        )
-        .withColumn("lcs_len", lcs_udf("ta", "tb"))
+        paired.withColumn("lcs_len", lcs_udf("ta", "tb"))
         .where(F.col("lcs_len") >= min_length)
         .select("doc_a", "doc_b", "lcs_len")
     )

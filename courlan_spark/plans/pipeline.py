@@ -63,6 +63,18 @@ def _snapshot_path(workdir: str, stage: str) -> str:
     return os.path.join(workdir, stage)
 
 
+def _safe_observation(obs) -> dict:
+    """Read an Observation defensively.  When AQE propagates an empty
+    shuffle stage upward (e.g. every LSH bucket over the cap on a
+    degenerate corpus), the CollectMetrics row can come back without a
+    schema and Observation.get raises from toPyRow — Spark-side issue;
+    the stage itself completed fine, only the counter is lost."""
+    try:
+        return dict(obs.get)
+    except Exception as exc:  # noqa: BLE001
+        return {"unavailable": str(exc).splitlines()[0][:120]}
+
+
 class DedupPipeline:
     def __init__(
         self,
@@ -182,15 +194,16 @@ class DedupPipeline:
         signatures = self._stage("04_signatures", build_signatures, resume, kind="persist")
 
         def build_minhash_pairs():
-            candidates, dropped = dedup.lsh_candidate_pairs(
-                signatures, bands=cfg.bands, max_bucket_size=cfg.max_bucket_size
+            # dropped-bucket accounting rides observe() on the pass
+            # that computes the buckets anyway — zero extra jobs
+            lsh_obs = Observation("05_lsh_buckets")
+            self._observations["lsh_buckets"] = lsh_obs
+            candidates, _ = dedup.lsh_candidate_pairs(
+                signatures,
+                bands=cfg.bands,
+                max_bucket_size=cfg.max_bucket_size,
+                observation=lsh_obs,
             )
-            if self.count_rows:  # dropped-bucket accounting costs a job
-                n_dropped = dropped.count()
-                if n_dropped:
-                    self.metrics.append(
-                        {"stage": "05_lsh", "dropped_buckets": n_dropped}
-                    )
             verified = dedup.verify_pairs_jaccard(
                 candidates,
                 url_unique,
@@ -261,7 +274,8 @@ class DedupPipeline:
             # observe()-based counters, recorded on the physical pass
             # itself (no extra jobs); absent for resumed stages
             "observed": {
-                name: dict(obs.get) for name, obs in self._observations.items()
+                name: _safe_observation(obs)
+                for name, obs in self._observations.items()
             },
         }
         if self.count_rows:
