@@ -22,6 +22,36 @@ from pyspark.sql import functions as F
 from ..functions.url_udfs import host_path_udf, make_buffer_url_udf, make_check_url_udf
 
 
+def with_input_ordinal(df: DataFrame, col: str = "_ordinal") -> DataFrame:
+    """Compact, order-preserving input ordinal (0..n-1): partition
+    sizes are counted once (a cheap scan-only job), then each row's
+    ordinal = its partition's global offset + its position within the
+    partition.  This reproduces the reference's list index exactly for
+    any order-stable source (createDataFrame, file reads) at ANY
+    partition count — unlike monotonically_increasing_id, whose
+    partition-id component (multiples of 2^33) swamps any practical
+    additive offset and makes cross-batch ordering collide.
+
+    Not meaningful after a shuffle (repartition/join reorder rows);
+    arrival order is undefined there — pass an explicit order column
+    to ingest_urls instead."""
+    tagged = df.withColumn("_pid", F.spark_partition_id())
+    sizes = {
+        row["_pid"]: row["cnt"]
+        for row in tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    return tagged.withColumn(
+        col, (omap[F.col("_pid")] + F.row_number().over(w) - 1).cast("long")
+    ).drop("_pid")
+
+
 def ingest_urls(
     urls: DataFrame,
     url_col: str = "url",
@@ -32,10 +62,19 @@ def ingest_urls(
     priority: int = 0,
     seq_offset: int = 0,
     appendleft: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Validate/normalize raw URLs into frontier rows (the _buffer_urls
     analog, urlstore.py:171-203): invalid and wrong-language rows drop,
     the rest split into (host, path) with insertion-order seq.
+
+    seq = input ordinal + ``seq_offset``: the ordinal comes from
+    ``order_col`` when given (an explicit arrival-order column — e.g. a
+    line number or log offset — deterministic under any partitioning
+    and free), else from :func:`with_input_ordinal` (compact 0..n-1 in
+    source order, costs one scan job).  Callers separating batches via
+    ``seq_offset`` get exact append semantics: every seq of batch k+1
+    sorts after batch k as long as offsets exceed batch sizes.
 
     ``appendleft=True`` mirrors the reference's deque.extendleft
     (urlstore.py:256-258): the batch is prioritized AND its internal
@@ -46,6 +85,11 @@ def ingest_urls(
     NB: this runs the *buffer* validation (validate+lang+normalize),
     not the full check_url — matching the reference, which applies the
     content filters in filter_links before the store, never inside it."""
+    if order_col is None:
+        urls = with_input_ordinal(urls, "_ordinal")
+        ordinal = F.col("_ordinal")
+    else:
+        ordinal = F.col(order_col).cast("long")
     buffer_udf = make_buffer_url_udf(
         strict=strict, language=language, trailing_slash=trailing_slash
     )
@@ -55,7 +99,7 @@ def ingest_urls(
         .withColumn("_hp", host_path_udf(F.col("_norm")))
         .where(F.col("_hp.host").isNotNull())
     )
-    seq = F.monotonically_increasing_id() + F.lit(seq_offset)
+    seq = ordinal + F.lit(seq_offset)
     if appendleft:
         seq = -seq
         priority = max(priority, 1)
@@ -148,15 +192,140 @@ def dedup_variants(frontier: DataFrame) -> DataFrame:
     )
 
 
+def _busted_col(frontier: DataFrame):
+    "Optional `busted` marker column (present after discard_hosts)."
+    if "busted" in frontier.columns:
+        return F.coalesce(F.col("busted"), F.lit(False))
+    return F.lit(False)
+
+
 def host_aggregates(frontier: DataFrame) -> DataFrame:
     """Derived DomainEntry aggregates (urlstore.py:84-95,270-273):
-    total paths, visited count, and state (OPEN / ALL_VISITED)."""
+    total paths, visited count, and state (OPEN / ALL_VISITED /
+    BUSTED).  Busted hosts carry one path-less sentinel row, so their
+    total and visited_count read 0 — matching the reference, where
+    discard() replaces the entry with an empty BUSTED DomainEntry."""
+    real = F.col("path").isNotNull()
     return frontier.groupBy("host").agg(
-        F.count("*").alias("total"),
-        F.sum(F.col("visited").cast("long")).alias("visited_count"),
-        F.when(F.bool_and("visited"), F.lit("ALL_VISITED"))
+        F.sum(real.cast("long")).alias("total"),
+        F.sum((F.col("visited") & real).cast("long")).alias("visited_count"),
+        F.when(F.max(_busted_col(frontier).cast("int")) == 1, F.lit("BUSTED"))
+        .when(F.bool_and("visited"), F.lit("ALL_VISITED"))
         .otherwise(F.lit("OPEN"))
         .alias("state"),
+    )
+
+
+def discard_hosts(frontier: DataFrame, hosts: list[str] | DataFrame) -> DataFrame:
+    """UrlStore.discard analog (urlstore.py:338-345): declare hosts
+    void — their URL rows are pruned and replaced by a single BUSTED
+    sentinel row (path NULL, visited true), so the host stays known
+    (is_exhausted_domain: state != OPEN) but never schedules again."""
+    spark = frontier.sparkSession
+    if isinstance(hosts, list):
+        hosts_df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    else:
+        hosts_df = hosts.select("host")
+    hosts_df = hosts_df.distinct()
+    if "busted" not in frontier.columns:
+        frontier = frontier.withColumn("busted", F.lit(False))
+    kept = frontier.join(F.broadcast(hosts_df), "host", "left_anti")
+    sentinels = hosts_df.select(
+        "host",
+        F.lit(None).cast("string").alias("path"),
+        F.lit(True).alias("visited"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit(0).alias("priority"),
+        F.lit(True).alias("busted"),
+    )
+    for col in frontier.columns:
+        if col not in sentinels.columns:
+            sentinels = sentinels.withColumn(
+                col, F.lit(None).cast(frontier.schema[col].dataType)
+            )
+    return kept.unionByName(sentinels.select(*frontier.columns))
+
+
+def reset_frontier(spark) -> DataFrame:
+    "UrlStore.reset analog (urlstore.py:347-352): an empty frontier."
+    return spark.createDataFrame(
+        [], "host string, path string, visited boolean, seq long, priority int"
+    )
+
+
+# --- UrlStore convenience queries (urlstore.py:356-396,532-556) ------------
+
+
+def known_domains(frontier: DataFrame) -> DataFrame:
+    "get_known_domains analog: every known host (incl. busted)."
+    return frontier.select("host").distinct()
+
+
+def unvisited_domains(frontier: DataFrame) -> DataFrame:
+    "get_unvisited_domains analog: hosts whose state is OPEN."
+    return host_aggregates(frontier).where(F.col("state") == "OPEN").select("host")
+
+
+def unvisited_websites_number(frontier: DataFrame) -> int:
+    "unvisited_websites_number analog."
+    return unvisited_domains(frontier).count()
+
+
+def total_url_number(frontier: DataFrame) -> int:
+    "total_url_number analog: all stored paths (sentinels excluded)."
+    row = frontier.agg(
+        F.sum(F.col("path").isNotNull().cast("long")).alias("n")
+    ).first()
+    return int(row["n"] or 0)
+
+
+def is_exhausted_domain(frontier: DataFrame, host: str) -> bool:
+    """is_exhausted_domain analog (urlstore.py:366-371): True when the
+    host is known and its state is not OPEN; False for unknown hosts
+    (the reference returns False rather than raising)."""
+    row = (
+        host_aggregates(frontier.where(F.col("host") == host))
+        .select("state")
+        .first()
+    )
+    return bool(row is not None and row["state"] != "OPEN")
+
+
+def find_known_urls(frontier: DataFrame, host: str) -> DataFrame:
+    "find_known_urls analog: full URLs stored for one host."
+    return (
+        frontier.where((F.col("host") == host) & F.col("path").isNotNull())
+        .select(F.concat("host", "path").alias("url"))
+        .orderBy("url")
+    )
+
+
+def find_unvisited_urls(frontier: DataFrame, host: str) -> DataFrame:
+    "find_unvisited_urls analog."
+    return (
+        frontier.where(
+            (F.col("host") == host) & F.col("path").isNotNull() & ~F.col("visited")
+        )
+        .select(F.concat("host", "path").alias("url"))
+        .orderBy("url")
+    )
+
+
+def dump_urls(frontier: DataFrame) -> DataFrame:
+    "dump_urls analog: every stored URL (host + path), sorted."
+    return (
+        frontier.where(F.col("path").isNotNull())
+        .select(F.concat("host", "path").alias("url"))
+        .orderBy("url")
+    )
+
+
+def all_visited_counts(frontier: DataFrame) -> DataFrame:
+    "get_all_counts analog: per-host visited (downloaded) counts."
+    return frontier.groupBy("host").agg(
+        F.sum((F.col("visited") & F.col("path").isNotNull()).cast("long")).alias(
+            "count"
+        )
     )
 
 
@@ -249,16 +418,38 @@ def get_download_urls(
     )
 
 
-def mark_visited(frontier: DataFrame, picks: DataFrame) -> DataFrame:
+def mark_visited(frontier: DataFrame, picks: DataFrame, visit_ts=None) -> DataFrame:
     """Flag (host, path) rows as visited — the batch analog of
     get_url's in-place mutation (urlstore.py:417-424).  At scale this
     is an Iceberg MERGE; here it is a broadcast-friendly left join on
-    the (small) pick set."""
+    the (small) pick set.
+
+    Mirroring the reference, the pulled host's contact timestamp is
+    stamped too (urlstore.py:419-424 stores timestamp=datetime.now()
+    on every pull): every row of a host with a pick in ``picks`` gets
+    ``host_ts = visit_ts`` (default: current timestamp), closing the
+    get_download_urls rate-limit loop."""
     flags = picks.select("host", "path").distinct().withColumn("_hit", F.lit(True))
-    return (
+    ts = (
+        F.lit(visit_ts).cast("timestamp")
+        if visit_ts is not None
+        else F.current_timestamp()
+    )
+    touched = picks.select("host").distinct().withColumn("_touched", F.lit(True))
+    out = (
         frontier.join(flags, ["host", "path"], "left")
         .withColumn("visited", F.col("visited") | F.coalesce("_hit", F.lit(False)))
         .drop("_hit")
+        .join(F.broadcast(touched), "host", "left")
+    )
+    prev_ts = F.col("host_ts") if "host_ts" in frontier.columns else F.lit(None).cast(
+        "timestamp"
+    )
+    return (
+        out.withColumn(
+            "host_ts", F.when(F.coalesce("_touched", F.lit(False)), ts).otherwise(prev_ts)
+        )
+        .drop("_touched")
     )
 
 

@@ -48,23 +48,39 @@ def extract_page_links(
 def crawlable_links(
     links: DataFrame,
     link_col: str = "link",
-    disallowed_prefixes: DataFrame | None = None,
+    robots_rules: DataFrame | None = None,
 ) -> DataFrame:
     """filter_links tail (core.py:256-265): drop non-crawlable links,
-    apply per-host robots disallow prefixes (broadcast join), and
-    flag navigation links as crawl-priority."""
+    apply per-host robots rules, and flag navigation links as
+    crawl-priority.
+
+    ``robots_rules`` is the (host, rules array<struct<prefix,allow>>)
+    table from operators.robots.robots_tables.  The join is a
+    broadcast HASH join on host equality — not a nested-loop prefix
+    scan over every rule (the round-1 shape, O(links x rules)) — and
+    the verdict is the stdlib RobotFileParser first-match rule,
+    evaluated natively with F.filter over the (small, ordered)
+    per-host rule array."""
     out = links.where(~is_not_crawlable_col(F.col(link_col)))
-    if disallowed_prefixes is not None:
-        # disallowed_prefixes(host string, prefix string): link blocked
-        # when it starts with host+prefix
-        rules = disallowed_prefixes.select(
-            F.concat("host", "prefix").alias("blocked_prefix")
+    if robots_rules is not None:
+        link_host = F.regexp_extract(F.col(link_col), r"^(https?://[^/]+)", 1)
+        out = out.withColumn("_lhost", link_host)
+        joined = out.join(
+            F.broadcast(robots_rules.withColumnRenamed("host", "_lhost")),
+            "_lhost",
+            "left",
         )
-        out = out.join(
-            F.broadcast(rules),
-            F.col(link_col).startswith(F.col("blocked_prefix")),
-            "left_anti",
+        path = F.expr(f"substring({link_col}, length(_lhost) + 1)")
+        # F.get (not getItem): null on empty match list under ANSI mode
+        first_match = F.get(
+            F.filter("rules", lambda r: path.startswith(r["prefix"])), F.lit(0)
         )
+        allowed = (
+            F.col("rules").isNull()
+            | first_match.isNull()
+            | first_match["allow"]
+        )
+        out = joined.where(allowed).drop("_lhost", "rules")
     return out.withColumn(
         "priority", is_navigation_col(F.col(link_col)).cast("int")
     )

@@ -5,25 +5,32 @@ The reference stores one RobotFileParser per host
 filter_links (core.py:257-259).  The distributed form is two small
 tables derived from raw robots.txt bodies:
 
-    disallows(host, prefix)       -> broadcast into crawlable_links
-    crawl_delays(host, crawl_delay) -> broadcast into download_schedule
+    rules(host, rules array<struct<prefix,allow>>)  -> broadcast into
+        crawlable_links (host equi-join + first-match verdict)
+    crawl_delays(host, crawl_delay)  -> broadcast into download_schedule
 
-Parsing runs in a vectorized pass using the stdlib RobotFileParser
-for exact can_fetch semantics where needed, with a plain line parser
-for the common '*'-agent Disallow/Crawl-delay extraction.
+Rule semantics mirror urllib.robotparser.RobotFileParser for the
+wildcard agent: Allow and Disallow lines are kept in file order and
+the FIRST rule whose prefix matches the path decides; no match means
+allowed; a bare ``Disallow:`` becomes an allow-everything rule
+(RuleLine('', False) flips to allowance=True in the stdlib).  The one
+simplification vs the stdlib is prefix matching on raw strings
+(no percent re-quoting of exotic paths).
 """
 
 from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
-def parse_robots_body(body: str) -> tuple[list[str], float | None]:
-    """(disallow prefixes, crawl delay) for the wildcard agent.
-    Mirrors RobotFileParser's grouping: rules apply to the last seen
-    'User-agent: *' group."""
-    disallows: list[str] = []
+def parse_robots_body(body: str) -> tuple[list[tuple[str, bool]], float | None]:
+    """(ordered rules [(prefix, allow)], crawl delay) for the wildcard
+    agent.  Mirrors RobotFileParser's grouping (rules apply to the
+    last seen 'User-agent: *' group) and rule order (first match
+    wins in can_fetch)."""
+    rules: list[tuple[str, bool]] = []
     delay: float | None = None
     current_agents: list[str] = []
     last_was_agent = False
@@ -45,43 +52,63 @@ def parse_robots_body(body: str) -> tuple[list[str], float | None]:
             continue
         if key == "disallow":
             if value:
-                disallows.append(value)
+                rules.append((value, False))
+            else:
+                # stdlib: empty Disallow flips to allow-everything
+                rules.append(("", True))
+        elif key == "allow":
+            rules.append((value, True))
         elif key == "crawl-delay":
             try:
                 delay = float(value)
             except ValueError:
                 pass
-    return disallows, delay
+    return rules, delay
+
+
+def can_fetch(rules: list[tuple[str, bool]], path: str) -> bool:
+    "First-match verdict over ordered rules; no match = allowed."
+    for prefix, allow in rules:
+        if path.startswith(prefix):
+            return allow
+    return True
 
 
 def robots_tables(robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     """robots(host string, body string) ->
-    (disallows(host, prefix), crawl_delays(host, crawl_delay))."""
+    (rules(host, rules array<struct<prefix,allow>>),
+     crawl_delays(host, crawl_delay)).
+
+    Hosts whose rule list is empty are omitted from the rules table
+    (everything allowed — the join in crawlable_links is left-style)."""
 
     def parse(iterator):
         for pdf in iterator:
             rows = []
             for host, body in zip(pdf["host"], pdf["body"]):
-                prefixes, delay = parse_robots_body(
+                parsed, delay = parse_robots_body(
                     body if isinstance(body, str) else ""
                 )
-                for prefix in prefixes:
-                    rows.append(
-                        {"host": host, "prefix": prefix, "crawl_delay": delay}
-                    )
-                if not prefixes:
-                    rows.append(
-                        {"host": host, "prefix": None, "crawl_delay": delay}
-                    )
-            yield pd.DataFrame(rows, columns=["host", "prefix", "crawl_delay"])
+                rows.append(
+                    {
+                        "host": host,
+                        "rules": [
+                            {"prefix": p, "allow": a} for p, a in parsed
+                        ],
+                        "crawl_delay": delay,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["host", "rules", "crawl_delay"])
 
     parsed = robots.mapInPandas(
-        parse, schema="host string, prefix string, crawl_delay double"
+        parse,
+        schema="host string, rules array<struct<prefix:string,allow:boolean>>, "
+        "crawl_delay double",
     )
-    disallows = parsed.where("prefix IS NOT NULL").select("host", "prefix")
+    rules = parsed.where(F.size("rules") > 0).select("host", "rules")
     delays = (
         parsed.where("crawl_delay IS NOT NULL")
         .select("host", "crawl_delay")
         .dropDuplicates(["host"])
     )
-    return disallows, delays
+    return rules, delays

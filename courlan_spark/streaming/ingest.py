@@ -69,9 +69,14 @@ def start_frontier_ingest(
     checked = checked_url_stream(lines, strict=strict, language=language)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # batch stride ABOVE monotonically_increasing_id's partition
+        # bits: the id encodes partition in multiples of 2^33, so a
+        # 2^33 stride made batch 1/partition 0 collide with batch
+        # 0/partition 1; 2^50 clears any id below 2^17 partitions and
+        # keeps cross-batch deque order (priority desc, seq asc) exact
         fresh = batch_df.dropDuplicates(["host", "path"]).withColumn(
             "seq",
-            F.monotonically_increasing_id() + F.lit(batch_id) * F.lit(1 << 33),
+            F.monotonically_increasing_id() + F.lit(batch_id) * F.lit(1 << 50),
         )
         if os.path.exists(os.path.join(frontier_dir, "_SUCCESS")) or any(
             name.endswith(".parquet")

@@ -82,6 +82,23 @@ CLDR_LANG_TERRITORY = frozenset(
 )
 
 
+# ll_Ssss script locales with published CLDR data: URL segments like
+# /zh-hans/ or /sr-latn-rs/ parse in babel (language = ll); a
+# territory-only table misses them.
+CLDR_LANG_SCRIPT = frozenset(
+    """
+    az_Cyrl az_Latn bs_Cyrl bs_Latn pa_Arab pa_Guru sr_Cyrl sr_Latn
+    uz_Arab uz_Cyrl uz_Latn zh_Hans zh_Hant kk_Arab ky_Arab ky_Latn
+    mn_Mong ms_Arab ha_Arab yo_BJ ff_Adlm ff_Latn sd_Arab sd_Deva
+    su_Latn vai_Latn vai_Vaii
+    """.split()
+)
+
+
+def _norm_script(piece: str) -> str:
+    return piece[:1].upper() + piece[1:].lower()
+
+
 @lru_cache(maxsize=4096)
 def _parse_language(segment: str) -> str | None:
     """Return the language code a segment parses to, or None when the
@@ -92,8 +109,16 @@ def _parse_language(segment: str) -> str | None:
     if len(pieces) == 1:
         return lang if lang in CLDR_LANGUAGES else None
     if len(pieces) == 2:
+        if len(pieces[1]) == 4:  # script subtag (zh_Hans, sr_Latn, ...)
+            ident = f"{lang}_{_norm_script(pieces[1])}"
+            return lang if ident in CLDR_LANG_SCRIPT else None
         ident = f"{lang}_{pieces[1].upper()}"
         return lang if ident in CLDR_LANG_TERRITORY else None
+    if len(pieces) == 3 and len(pieces[1]) == 4:
+        # ll_Ssss_TT (sr_Latn_RS, zh_Hant_TW): CLDR publishes these
+        # wherever the ll_Ssss base exists
+        ident = f"{lang}_{_norm_script(pieces[1])}"
+        return lang if ident in CLDR_LANG_SCRIPT else None
     return None
 
 

@@ -74,21 +74,21 @@ def get_hostinfo(url: str) -> tuple[str | None, str]:
 
 
 def fix_relative_urls(baseurl: str, url: str) -> str:
-    """Resolve a candidate link against its page URL; CMS template
-    placeholders and scheme-relative links handled explicitly.
-    Parity: urlutils.py:106-120."""
-    if url.startswith("{"):
+    """Resolve a candidate link against its page URL.  Semantics
+    (parity target urlutils.py:106-120, covered by golden tests):
+    CMS template placeholders pass through untouched, same-site and
+    relative links join onto the base, absolute links to other hosts
+    pass through, and scheme-relative links to other hosts inherit
+    the page's scheme."""
+    if url.startswith("{"):  # template placeholder, not a URL
         return url
-
-    parsed_base = urlsplit(baseurl)
-    split_url = urlsplit(url)
-
-    if split_url.netloc not in (parsed_base.netloc, ""):
-        if split_url.scheme:
-            return url
-        return urlunsplit(split_url._replace(scheme=parsed_base.scheme or "http"))
-
-    return urljoin(baseurl, url)
+    candidate = urlsplit(url)
+    base = urlsplit(baseurl)
+    if candidate.netloc in ("", base.netloc):
+        return urljoin(baseurl, url)
+    if candidate.scheme:
+        return url
+    return urlunsplit(candidate._replace(scheme=base.scheme or "http"))
 
 
 def filter_urls(link_list: list[str], urlfilter: str | None) -> list[str]:
@@ -124,28 +124,31 @@ def canonical_dedup_key(url: str) -> str:
     return url.rstrip("/")
 
 
+def _slash_toggle(url: str) -> str:
+    "The opposite trailing-slash form (all slashes strip, one adds)."
+    return url.rstrip("/") if url.endswith("/") else url + "/"
+
+
+def link_variants(link: str) -> list[str]:
+    """The identity class a link is matched under: itself, its
+    trailing-slash toggle, and (for http(s) links) both forms with the
+    scheme flipped — the scalar mirror of canonical_dedup_key."""
+    variants = [link, _slash_toggle(link)]
+    if link.startswith("http"):
+        flipped = (
+            "http" + link[len("https") :]
+            if link.startswith("https")
+            else "https" + link[len("http") :]
+        )
+        variants += [flipped, _slash_toggle(flipped)]
+    return variants
+
+
 def is_known_link(link: str, known_links: set[str]) -> bool:
-    """Membership test against known links including trailing-slash and
-    http/https variants.  Parity: urlutils.py:148-174."""
+    """Membership test against known links under the variant identity
+    (±trailing slash × http/https).  Semantics match the reference's
+    sequential probes (urlutils.py:148-174, golden tests); realized as
+    one variant-set disjointness check."""
     if not link:
         return False
-    if link in known_links:
-        return True
-
-    slash_variant = link.rstrip("/") if link[-1] == "/" else link + "/"
-    if slash_variant in known_links:
-        return True
-
-    if link.startswith("http"):
-        proto_variant = (
-            "http" + link[5:] if link.startswith("https") else "https" + link[4:]
-        )
-        proto_slash_variant = (
-            proto_variant.rstrip("/")
-            if proto_variant[-1] == "/"
-            else proto_variant + "/"
-        )
-        if proto_variant in known_links or proto_slash_variant in known_links:
-            return True
-
-    return False
+    return not known_links.isdisjoint(link_variants(link))

@@ -46,6 +46,8 @@ tips tires today tools top tours town toys trade training tube vegas
 ventures vet viajes video villas vin vip vision vodka vote voyage
 watch webcam website wedding wiki win wine work works world wtf xyz
 yoga zone
+zip mov day foo new meme nexus ing boo dad phd prof esq rsvp search
+channel select degree bond cyou skin quest autos boats
 """.split()
 
 _COUNTRY_TLDS = """
@@ -117,11 +119,27 @@ co.tz co.ug co.zm co.zw com.na com.bw com.mu com.mg com.mz com.ao
 gen.ck biz.ck info.ck
 """.split()
 
-PUBLIC_SUFFIXES = frozenset(
-    _GENERIC_TLDS + _COUNTRY_TLDS + _IDN_TLDS + _SECOND_LEVEL
+# Three-label public suffixes: the US locality namespaces the PSL
+# lists per state (k12 school districts, community colleges, state
+# libraries) — the class of suffixes a 2-label cap silently misses
+# (round-1 ADVICE: k12.ma.us-style lookups diverged from tld/PSL).
+_US_STATES = """
+ak al ar az ca co ct dc de fl ga hi ia id il in ks ky la ma md me mi
+mn mo ms mt nc nd ne nh nj nm nv ny oh ok or pa ri sc sd tn tx ut va
+vt wa wi wv wy
+""".split()
+
+_THIRD_LEVEL = (
+    [f"k12.{s}.us" for s in _US_STATES]
+    + [f"cc.{s}.us" for s in _US_STATES]
+    + [f"lib.{s}.us" for s in _US_STATES]
 )
 
-_MAX_SUFFIX_LABELS = 2
+PUBLIC_SUFFIXES = frozenset(
+    _GENERIC_TLDS + _COUNTRY_TLDS + _IDN_TLDS + _SECOND_LEVEL + _THIRD_LEVEL
+)
+
+_MAX_SUFFIX_LABELS = 3
 
 
 def registrable_domain(url: str) -> tuple[str, str] | None:

@@ -133,3 +133,84 @@ def test_sampling_counts_differential(spark, ref):
     for r in engine:
         engine_counts[r["host"]] = engine_counts.get(r["host"], 0) + 1
     assert engine_counts == ref_counts
+
+
+def test_discard_busted_differential(spark, ref):
+    """discard(): pruned hosts report BUSTED, zero totals, never
+    schedule again; other hosts unaffected (urlstore.py:338-345)."""
+    store = ref["UrlStore"]()
+    store.add_urls(list(URLS))
+    store.discard(["https://test.org"])
+
+    from courlan_spark.operators import frontier as fr
+
+    frontier_df = fr.discard_hosts(_ingest_frontier(spark, URLS), ["https://test.org"])
+
+    ref_states = {d: store.urldict[d].state.name for d in store.get_known_domains()}
+    engine_states = {
+        r["host"]: r["state"] for r in fr.host_aggregates(frontier_df).collect()
+    }
+    assert engine_states == ref_states
+
+    ref_totals = {d: store.urldict[d].total for d in store.get_known_domains()}
+    engine_totals = {
+        r["host"]: r["total"] for r in fr.host_aggregates(frontier_df).collect()
+    }
+    assert engine_totals == ref_totals
+
+    assert store.is_exhausted_domain("https://test.org")
+    assert fr.is_exhausted_domain(frontier_df, "https://test.org")
+    assert not store.is_exhausted_domain("https://www.example.org")
+    assert not fr.is_exhausted_domain(frontier_df, "https://www.example.org")
+    # unknown hosts: False on both sides, no error
+    assert not store.is_exhausted_domain("https://nowhere.net")
+    assert not fr.is_exhausted_domain(frontier_df, "https://nowhere.net")
+
+    assert set(store.get_unvisited_domains()) == {
+        r["host"] for r in fr.unvisited_domains(frontier_df).collect()
+    }
+    assert store.unvisited_websites_number() == fr.unvisited_websites_number(
+        frontier_df
+    )
+    assert store.total_url_number() == fr.total_url_number(frontier_df)
+    assert set(store.dump_urls()) == {
+        r["url"] for r in fr.dump_urls(frontier_df).collect()
+    }
+    # busted hosts draw nothing
+    sched = fr.download_schedule(frontier_df, max_urls=50, time_limit=1.0).collect()
+    assert all(not r["url"].startswith("https://test.org") for r in sched)
+
+
+def test_rate_limit_loop_differential(spark, ref):
+    """get_download_urls + timestamp stamping: a freshly pulled host is
+    ineligible until time_limit elapses (urlstore.py:432-453)."""
+    from datetime import datetime, timedelta
+
+    from courlan_spark.operators import frontier as fr
+
+    store = ref["UrlStore"]()
+    store.add_urls(list(URLS))
+    first_ref = store.get_download_urls(time_limit=10.0)
+    # immediately afterwards every host is rate-limited
+    assert store.get_download_urls(time_limit=10.0) == []
+
+    frontier_df = _ingest_frontier(spark, URLS)
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+    picks = fr.get_download_urls(frontier_df, time_limit=10.0, now_ts=t0)
+    assert {r["url"] for r in picks.collect()} == set(first_ref)
+
+    hp = picks.withColumn("path", F.expr("substring(url, length(host) + 1)")).select(
+        "host", "path"
+    )
+    stamped = fr.mark_visited(frontier_df, hp, visit_ts=t0)
+    # 5 seconds later: still inside the limit -> nothing eligible
+    again = fr.get_download_urls(
+        stamped, time_limit=10.0, now_ts=t0 + timedelta(seconds=5)
+    )
+    assert again.count() == 0
+    # 11 seconds later: hosts free again, next path per host drawn
+    later = fr.get_download_urls(
+        stamped, time_limit=10.0, now_ts=t0 + timedelta(seconds=11)
+    )
+    ref_second = store.get_download_urls(time_limit=-1.0)
+    assert {r["url"] for r in later.collect()} == set(ref_second)

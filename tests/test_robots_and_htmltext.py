@@ -11,6 +11,7 @@ User-agent: googlebot
 Disallow: /google-only/
 
 User-agent: *
+Allow: /private/public-part/
 Disallow: /private/
 Disallow: /tmp/
 Crawl-delay: 4
@@ -21,23 +22,40 @@ Disallow: /
 
 
 def test_parse_robots_matches_stdlib():
-    prefixes, delay = parse_robots_body(ROBOTS_BODY)
-    assert prefixes == ["/private/", "/tmp/"]
+    from courlan_spark.operators.robots import can_fetch
+
+    rules, delay = parse_robots_body(ROBOTS_BODY)
+    assert rules == [
+        ("/private/public-part/", True),
+        ("/private/", False),
+        ("/tmp/", False),
+    ]
     assert delay == 4.0
 
     rp = RobotFileParser()
     rp.parse(ROBOTS_BODY.splitlines())
-    for path, expected in [
-        ("/private/x", False),
-        ("/tmp/y", False),
-        ("/public/z", True),
-        ("/google-only/q", True),  # not for '*'
+    for path in [
+        "/private/x",
+        "/private/public-part/y",   # Allow overrides the broader Disallow
+        "/tmp/y",
+        "/public/z",
+        "/google-only/q",           # not for '*'
+        "/",
     ]:
         url = "https://example.org" + path
-        assert rp.can_fetch("*", url) is expected
-        blocked = any(path.startswith(p) for p in prefixes)
-        assert blocked is (not expected)
+        assert can_fetch(rules, path) is rp.can_fetch("*", url), path
     assert rp.crawl_delay("*") == 4
+
+
+def test_parse_robots_empty_disallow_allows_all():
+    body = "User-agent: *\nDisallow:\n"
+    rules, _ = parse_robots_body(body)
+    rp = RobotFileParser()
+    rp.parse(body.splitlines())
+    from courlan_spark.operators.robots import can_fetch
+
+    for path in ["/", "/anything/x"]:
+        assert can_fetch(rules, path) is rp.can_fetch("*", "https://e.org" + path)
 
 
 def test_robots_tables_and_link_filtering(spark):
@@ -48,26 +66,45 @@ def test_robots_tables_and_link_filtering(spark):
         ],
         "host string, body string",
     )
-    disallows, delays = robots_tables(robots)
-    assert sorted(map(tuple, disallows.collect())) == [
-        ("https://example.org", "/private/"),
-        ("https://example.org", "/tmp/"),
-    ]
+    rules, delays = robots_tables(robots)
+    collected = {r["host"]: [tuple(x) for x in r["rules"]] for r in rules.collect()}
+    assert collected == {
+        "https://example.org": [
+            ("/private/public-part/", True),
+            ("/private/", False),
+            ("/tmp/", False),
+        ],
+        "https://open.org": [("", True)],
+    }
     assert [tuple(r) for r in delays.collect()] == [("https://example.org", 4.0)]
 
-    # feed into the crawl filter: disallowed links drop
+    # feed into the crawl filter: disallowed links drop, Allow carve-out
+    # survives, rule-less hosts survive
     from courlan_spark.operators.links import crawlable_links
 
     links = spark.createDataFrame(
         [
             ("https://example.org/private/secret",),
+            ("https://example.org/private/public-part/ok",),
             ("https://example.org/public/page",),
             ("https://open.org/anything",),
+            ("https://norules.org/x",),
         ],
         "link string",
     )
-    kept = {r["link"] for r in crawlable_links(links, disallowed_prefixes=disallows).collect()}
-    assert kept == {"https://example.org/public/page", "https://open.org/anything"}
+    filtered = crawlable_links(links, robots_rules=rules)
+    kept = {r["link"] for r in filtered.collect()}
+    assert kept == {
+        "https://example.org/private/public-part/ok",
+        "https://example.org/public/page",
+        "https://open.org/anything",
+        "https://norules.org/x",
+    }
+    # plan shape: a broadcast HASH join on the host key, not a
+    # nested-loop prefix join over every rule
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_html_to_text():
