@@ -168,22 +168,35 @@ def main() -> None:
     spark.stop()
 
     try:
-        # --- pipeline runs: median-of-REPEATS at each level ---
-        # (the sandbox shows ±30% run-to-run variance on identical
-        # jobs; the judge asked for >=3 runs, not best-of-N, so the
-        # reported number is the median and all runs are recorded)
+        # --- pipeline runs ---
+        # The sandbox shares its host: identical runs were observed to
+        # swing up to 4x with external load (loadavg > 8 with zero
+        # local processes).  Measuring each level in its own block
+        # would let one noisy window poison the whole ratio, so the
+        # levels are INTERLEAVED (high, low, high, low, ...) and the
+        # scaling efficiency is the median of the per-adjacent-pair
+        # ratios -- both sides of a pair see similar host conditions.
+        # All runs, load averages, and CPU probes are recorded.
         repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
-        def median_of(cpus: int) -> tuple[dict, list[dict]]:
-            runs = [_run_pipeline(cpus, corpus_path) for _ in range(repeats)]
-            runs.sort(key=lambda r: r["secs"])
-            return runs[len(runs) // 2], runs
-
-        high, high_runs = median_of(SCALE_HIGH if WITH_SCALING else CPUS)
+        def median_run(runs: list[dict]) -> dict:
+            return sorted(runs, key=lambda r: r["secs"])[len(runs) // 2]
 
         scaling = None
         if WITH_SCALING:
-            low, low_runs = median_of(SCALE_LOW)
+            pairs = [
+                (_run_pipeline(SCALE_HIGH, corpus_path),
+                 _run_pipeline(SCALE_LOW, corpus_path))
+                for _ in range(repeats)
+            ]
+            effs = sorted(
+                (h["docs_per_sec"] / lo["docs_per_sec"]) / (SCALE_HIGH / SCALE_LOW)
+                for h, lo in pairs
+            )
+            high_runs = [h for h, _ in pairs]
+            low_runs = [lo for _, lo in pairs]
+            high = median_run(high_runs)
+            low = median_run(low_runs)
             scaling = {
                 "cpus_low": SCALE_LOW,
                 "cpus_high": SCALE_HIGH,
@@ -199,12 +212,13 @@ def main() -> None:
                 "cpu_probe_high": [r["cpu_probe_mops"] for r in high_runs],
                 "docs_per_sec_low": low["docs_per_sec"],
                 "docs_per_sec_high": high["docs_per_sec"],
-                "efficiency": round(
-                    (high["docs_per_sec"] / low["docs_per_sec"])
-                    / (SCALE_HIGH / SCALE_LOW),
-                    3,
-                ),
+                "pair_efficiencies": [round(e, 3) for e in effs],
+                "efficiency": round(effs[len(effs) // 2], 3),
             }
+        else:
+            high = median_run(
+                [_run_pipeline(CPUS, corpus_path) for _ in range(repeats)]
+            )
 
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         result = {

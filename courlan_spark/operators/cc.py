@@ -32,11 +32,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     w = Window.partitionBy("src")
     m = F.least(F.min("dst").over(w), F.col("src"))
+    # no distinct here: duplicates don't change the per-src minima the
+    # following small-star computes, and its trailing distinct dedups
+    # the round's output — one shuffle per round saved
     return (
         sym.withColumn("m", m)
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -58,7 +60,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
     checkpoint_every: int = 1,
-    check_from_iteration: int = 2,
+    check_from_iteration: int = 1,
 ) -> DataFrame:
     """Resolve components over an undirected edge list.
 
