@@ -80,7 +80,13 @@ def make_check_url_udf(
     # The function is pure; the nondeterministic marking is an optimizer
     # hint that stops Catalyst from duplicating the (expensive) UDF when
     # a Filter is pushed through the Project that references its struct
-    # fields — observed as two ArrowEvalPython nodes doing double work.
+    # fields — observed as two ArrowEvalPython nodes doing double work
+    # (5.6x on q_url_canonical_dedup).  Cost of the hint: Catalyst will
+    # no longer push unrelated filters BELOW this UDF nor collapse the
+    # adjacent projections, so callers should place their own selective
+    # filters before applying the UDF (every pipeline/catalog call site
+    # does).  Revisit if Spark ever gets with-expression reuse for
+    # Python UDF structs.
     return check_udf.asNondeterministic()
 
 

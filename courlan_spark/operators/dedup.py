@@ -271,7 +271,8 @@ def lsh_candidate_pairs_bucketed(
     pre-partitioned and pre-sorted.  Verified by
     tests/test_bucketed_layout.py, which asserts the physical plan has
     no Exchange under the join."""
-    spark = signatures.sparkSession
+    from ..sources.tables import replace_bucketed_table
+
     band_udf = hashing.make_band_hash_udf(bands=bands)
     buckets = signatures.select(
         "doc_id", F.explode(band_udf("signature")).alias("band_key")
@@ -284,23 +285,7 @@ def lsh_candidate_pairs_bucketed(
             ).select("band_key"),
             "band_key",
         )
-    # replace any prior table AND its on-disk location (a dropped
-    # managed table can leave the directory behind after a failed run)
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    import os
-    import shutil
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").replace("file:", "")
-    leftover = os.path.join(warehouse, table_name.lower())
-    if warehouse and os.path.isdir(leftover):
-        shutil.rmtree(leftover, ignore_errors=True)
-    (
-        buckets.write.mode("overwrite")
-        .bucketBy(n_buckets, "band_key")
-        .sortBy("band_key")
-        .saveAsTable(table_name)
-    )
-    stored = spark.table(table_name)
+    stored = replace_bucketed_table(buckets, table_name, n_buckets, "band_key")
     left = stored.select("band_key", F.col("doc_id").alias("doc_a"))
     right = stored.select("band_key", F.col("doc_id").alias("doc_b"))
     # MERGE hint: sort-merge is the strategy that exploits the bucketed

@@ -14,8 +14,10 @@ pass" (/root/repo/BASELINE.json:6,14) made cross-partition-safe:
    exact longest-common-substring check runs in a grouped pandas pass
    (suffix automaton, O(n+m) per pair).
 
-The removal variant rewrites documents with duplicated long blocks
-dropped (keeping the earliest doc's copy).
+The removal variant (remove_duplicate_blocks / strip_shared_blocks)
+rewrites documents with duplicated long blocks dropped, keeping the
+earliest doc's copy — exact against the declarative "union of shared
+min_length-gram windows" semantics its DuckDB oracle recomputes.
 """
 
 from __future__ import annotations
@@ -55,9 +57,8 @@ def winnow_fingerprints(text: str, k: int = DEFAULT_KGRAM, w: int = DEFAULT_WIND
     return np.unique(windows.min(axis=1)).astype(np.int64)
 
 
-def longest_common_substring(a: str, b: str) -> int:
-    "Exact LCS length via suffix automaton of `a` streamed with `b`."
-    # suffix automaton over a
+def _suffix_automaton(a: str) -> tuple[list[int], list[int], list[dict[str, int]]]:
+    "Build the suffix automaton of `a`: (link, length, transitions)."
     last, size = 0, 1
     link = [-1]
     length = [0]
@@ -90,8 +91,17 @@ def longest_common_substring(a: str, b: str) -> int:
                 link[q] = clone
                 link[cur] = clone
         last = cur
-    # stream b
-    best = cur_len = 0
+    return link, length, trans
+
+
+def _match_lengths(
+    automaton: tuple[list[int], list[int], list[dict[str, int]]], b: str
+) -> list[int]:
+    """For each position i of `b`, the length of the longest suffix of
+    b[:i+1] that occurs in the automaton's source string."""
+    link, length, trans = automaton
+    out = []
+    cur_len = 0
     v = 0
     for ch in b:
         while v and ch not in trans[v]:
@@ -100,10 +110,48 @@ def longest_common_substring(a: str, b: str) -> int:
         if ch in trans[v]:
             v = trans[v][ch]
             cur_len += 1
-            best = max(best, cur_len)
         else:
             v, cur_len = 0, 0
-    return best
+        out.append(cur_len)
+    return out
+
+
+def longest_common_substring(a: str, b: str) -> int:
+    "Exact LCS length via suffix automaton of `a` streamed with `b`."
+    if not a or not b:
+        return 0
+    lengths = _match_lengths(_suffix_automaton(a), b)
+    return max(lengths) if lengths else 0
+
+
+def strip_shared_blocks(
+    text: str, refs: list[str], min_length: int = 63
+) -> tuple[str, int]:
+    """Remove every character of ``text`` lying inside a block of
+    >= min_length chars that also occurs verbatim in any of ``refs``.
+
+    Exact declarative semantics (what the DuckDB oracle recomputes):
+    position p is removed iff some window text[i : i+min_length]
+    containing p is a substring of a ref — equivalently, p lies inside
+    a maximal shared block of length >= min_length.  Computed in
+    O(len(text) + sum(len(ref))) with one suffix-automaton walk per
+    ref (the per-position longest-match lengths give the block spans).
+    Returns (rewritten text, number of characters removed); a single
+    pass — removal does not iterate on newly adjacent text."""
+    if not text or not refs:
+        return text, 0
+    covered = np.zeros(len(text), dtype=bool)
+    for ref in refs:
+        if not ref:
+            continue
+        lengths = _match_lengths(_suffix_automaton(ref), text)
+        for i, li in enumerate(lengths):
+            if li >= min_length:
+                covered[i - li + 1 : i + 1] = True
+    if not covered.any():
+        return text, 0
+    kept = "".join(ch for ch, c in zip(text, covered) if not c)
+    return kept, int(covered.sum())
 
 
 def make_winnow_udf(k: int = DEFAULT_KGRAM, w: int = DEFAULT_WINDOW):
@@ -188,6 +236,79 @@ def verify_substring_pairs(
         paired.withColumn("lcs_len", lcs_udf("ta", "tb"))
         .where(F.col("lcs_len") >= min_length)
         .select("doc_a", "doc_b", "lcs_len")
+    )
+
+
+def remove_duplicate_blocks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_length: int = DEFAULT_WINDOW + DEFAULT_KGRAM - 1,
+    k: int = DEFAULT_KGRAM,
+    w: int = DEFAULT_WINDOW,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Long-verbatim-block REMOVAL (the training-data variant of the
+    substring stage): every document is rewritten with the characters
+    dropped that lie inside a >= min_length block shared with any
+    EARLIER document (smaller id); the earliest copy keeps its text.
+
+    Plan: winnowing candidates (min_shared_fps=1 — the strict
+    guarantee, so every sharing pair is found) orient earliest->later,
+    the later doc collects its partners' distinct texts (one shuffle),
+    and a pandas UDF strips the covered spans.  Exact for
+    min_length >= w + k - 1 and max_bucket_size=None; at web scale set
+    a bucket cap and accept the documented recall trade.
+
+    Returns the input columns with ``text`` rewritten plus
+    ``n_removed`` (characters dropped)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import attach_pair_payloads  # noqa: F401  (shared seam)
+
+    if min_length < w + k - 1:
+        raise ValueError(
+            f"min_length={min_length} below the winnowing guarantee "
+            f"threshold w+k-1={w + k - 1}: candidate pairs would miss blocks"
+        )
+    pairs = substring_candidate_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        w=w,
+        max_bucket_size=max_bucket_size,
+        min_shared_fps=1,
+    )
+    texts = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_rtext"))
+    refs = (
+        pairs.join(texts, "doc_a")  # doc_a < doc_b: doc_a is the keeper
+        .groupBy("doc_b")
+        .agg(F.collect_set("_rtext").alias("_refs"))
+        .withColumnRenamed("doc_b", "__dupe_id")
+    )
+
+    @pandas_udf("struct<new_text:string,n_removed:long>")
+    def strip_udf(texts: pd.Series, refs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for text, ref_list in zip(texts, refs):
+            if not isinstance(text, str) or ref_list is None or len(ref_list) == 0:
+                rows.append({"new_text": text, "n_removed": 0})
+                continue
+            new_text, removed = strip_shared_blocks(
+                text, list(ref_list), min_length
+            )
+            rows.append({"new_text": new_text, "n_removed": removed})
+        return pd.DataFrame(rows)
+
+    out = docs.join(refs, F.col(id_col) == F.col("__dupe_id"), "left").withColumn(
+        "_stripped", strip_udf(F.col(text_col), F.col("_refs"))
+    )
+    keep_cols = [c for c in docs.columns if c != text_col]
+    return out.select(
+        *keep_cols,
+        F.col("_stripped.new_text").alias(text_col),
+        F.col("_stripped.n_removed").alias("n_removed"),
     )
 
 

@@ -488,6 +488,22 @@ def q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_assignments(docs, verified.select("doc_a", "doc_b"))
 
 
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-block removal: every doc drops the characters covered
+    by a >= 63-char block shared with any earlier doc (earliest copy
+    kept).  Oracle: the same position set derived declaratively in
+    DuckDB — union of shared-63-gram windows — with the surviving
+    text reassembled by string_agg and md5-compared."""
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    out = suffix_ops.remove_duplicate_blocks(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5(F.coalesce("text", F.lit(""))).alias("new_md5"),
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k over embeddings.  planes=4 x
     tables=24 gives exhaustive top-5 coverage on this corpus (verified
@@ -522,10 +538,20 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ~0.4), so the threshold sits at 0.35 and the bucket config
     (4 planes x 48 tables) reaches full recall on this corpus — the
     oracle is the exact brute-force pair set."""
+    import math
+
     _views(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
+    # bucket depth follows corpus size so expected occupancy (and with
+    # it candidate volume per vector) stays roughly constant: at the
+    # oracle scale (500 vectors) this resolves to the exhaustively
+    # verified planes=4 x tables=48; larger corpora get deeper, fewer
+    # tables (rows-only there — the driver's oracle runs at sf0.01)
+    n = emb.count()
+    planes = max(4, math.ceil(math.log2(max(n, 64) / 32)))
+    tables = 48 if n <= 600 else 16
     return similarity.embedding_neardup_pairs(
-        emb, dim=64, threshold=0.35, planes=4, tables=48, round_decimals=4
+        emb, dim=64, threshold=0.35, planes=planes, tables=tables, round_decimals=4
     )
 
 
@@ -848,6 +874,39 @@ FROM rl GROUP BY doc_a, doc_b
 """
 
 
+# verbatim-block removal ground truth: a position p of doc d is
+# removed iff p lies in some window [i, i+62] whose 63-gram also
+# occurs in an earlier document (equivalent to "inside a shared block
+# of >= 63 chars"); surviving characters reassemble in order
+_REMOVE_BOILERPLATE_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, t.i AS i, substr(text, t.i, 63) AS g
+  FROM documents, unnest(generate_series(1, length(text) - 62)) AS t(i)),
+m AS (
+  SELECT DISTINCT b.doc_id AS d, b.i AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+cov AS (
+  SELECT DISTINCT d, pp.p AS p
+  FROM m, unnest(generate_series(i, i + 62)) AS pp(p)),
+chars AS (
+  SELECT doc_id, pp.p AS p, substr(text, pp.p, 1) AS ch
+  FROM documents, unnest(generate_series(1, length(text))) AS pp(p)),
+kept AS (
+  SELECT c.doc_id, c.p, c.ch
+  FROM chars c LEFT JOIN cov ON cov.d = c.doc_id AND cov.p = c.p
+  WHERE cov.p IS NULL),
+rebuilt AS (
+  SELECT doc_id, string_agg(ch, '' ORDER BY p) AS new_text
+  FROM kept GROUP BY doc_id),
+removed AS (SELECT d AS doc_id, count(*) AS n_removed FROM cov GROUP BY d)
+SELECT d.doc_id,
+       coalesce(r.n_removed, 0) AS n_removed,
+       md5(coalesce(b.new_text, '')) AS new_md5
+FROM documents d
+LEFT JOIN rebuilt b ON b.doc_id = d.doc_id
+LEFT JOIN removed r ON r.doc_id = d.doc_id
+"""
+
 _ANN_TOPK_ORACLE = """
 WITH scored AS (
   SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
@@ -877,6 +936,7 @@ ORACLES["q_cluster_assignments"] = _cluster_assignments_oracle()
 ORACLES["q_simhash_fingerprints"] = _simhash_fingerprints_oracle()
 ORACLES["q_substring_pairs"] = _substring_pairs_oracle()
 ORACLES["q_suffix_array_pass"] = _suffix_array_pass_oracle()
+ORACLES["q_remove_boilerplate"] = _REMOVE_BOILERPLATE_ORACLE
 ORACLES["q_ann_topk_lsh"] = _ANN_TOPK_ORACLE
 ORACLES["q_ann_topk_ivf"] = _ANN_TOPK_ORACLE
 ORACLES["q_embedding_neardup_lsh"] = _EMBEDDING_NEARDUP_ORACLE
@@ -937,6 +997,7 @@ QUERIES = {
     "q_simhash_fingerprints": q_simhash_fingerprints,
     "q_substring_pairs": q_substring_pairs,
     "q_suffix_array_pass": q_suffix_array_pass,
+    "q_remove_boilerplate": q_remove_boilerplate,
     "q_cluster_assignments": q_cluster_assignments,
     "q_ann_topk_lsh": q_ann_topk_lsh,
     "q_ann_topk_ivf": q_ann_topk_ivf,

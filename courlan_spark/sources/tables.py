@@ -50,6 +50,34 @@ def read_snapshot(spark: SparkSession, target: str) -> DataFrame:
     return spark.read.parquet(target)
 
 
+def replace_bucketed_table(
+    df: DataFrame, table_name: str, n_buckets: int, bucket_col: str
+) -> DataFrame:
+    """Materialize df as a managed table bucketed+sorted by
+    ``bucket_col`` and return the stored table.  On the parquet
+    backend a dropped managed table can leave its directory behind
+    after a failed run, so the location is cleared too — the
+    local-warehouse counterpart of Iceberg's REPLACE TABLE."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if TABLE_FORMAT != "iceberg":
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "").replace(
+            "file:", ""
+        )
+        leftover = os.path.join(warehouse, table_name.lower())
+        if warehouse and os.path.isdir(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)
+
+
 def has_snapshot(target: str) -> bool:
     "True when a committed snapshot exists (parquet backend only)."
     if TABLE_FORMAT == "iceberg":

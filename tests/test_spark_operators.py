@@ -294,3 +294,67 @@ def test_connected_components_vs_union_find(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_strip_shared_blocks_equals_gram_cover():
+    "strip_shared_blocks == union-of-shared-63-gram-windows semantics."
+    import random
+
+    from courlan_spark.operators.suffix import strip_shared_blocks
+
+    def brute(text, refs, L=63):
+        grams = set()
+        for r in refs:
+            for i in range(len(r) - L + 1):
+                grams.add(r[i : i + L])
+        covered = [False] * len(text)
+        for i in range(len(text) - L + 1):
+            if text[i : i + L] in grams:
+                for p in range(i, i + L):
+                    covered[p] = True
+        return (
+            "".join(ch for ch, c in zip(text, covered) if not c),
+            sum(covered),
+        )
+
+    random.seed(7)
+    block = "B" * 30 + "the quick brown fox jumps over the lazy dog endlessly" + "E" * 10
+    for trial in range(60):
+        ref = "".join(random.choice("abcd ") for _ in range(random.randint(0, 150)))
+        pre = "".join(random.choice("wxyz ") for _ in range(random.randint(0, 80)))
+        post = "".join(random.choice("wxyz ") for _ in range(random.randint(0, 80)))
+        if trial % 3 == 0:
+            ref2, text = ref + block, pre + block + post
+        elif trial % 3 == 1:
+            ref2, text = ref, pre + post
+        else:
+            ref2, text = block + ref + block[:70], block[:70] + pre + block + post
+        assert strip_shared_blocks(text, [ref2], 63) == brute(text, [ref2], 63)
+
+
+def test_remove_duplicate_blocks_operator(spark):
+    """Earliest doc keeps its text; later docs lose the shared block;
+    unrelated docs untouched."""
+    from courlan_spark.operators.suffix import remove_duplicate_blocks
+
+    block = (
+        "this is one very long boilerplate navigation footer that sites "
+        "repeat verbatim on every single page they serve"
+    )
+    assert len(block) >= 63
+    rows = [
+        (0, "original article text. " + block),
+        (1, "different lead-in words here. " + block + " and a unique tail."),
+        (2, "a totally unrelated document with its own words only."),
+        (3, block),  # the whole doc is the shared block
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_blocks(docs).collect()}
+    assert out[0]["text"] == rows[0][1] and out[0]["n_removed"] == 0
+    # the shared block extends over the '. ' boundary both docs share,
+    # so the removed span is slightly wider than `block` itself
+    assert block not in out[1]["text"] and out[1]["n_removed"] >= len(block)
+    assert out[1]["text"].startswith("different lead-in words here")
+    assert "unique tail." in out[1]["text"]
+    assert out[2]["text"] == rows[2][1] and out[2]["n_removed"] == 0
+    assert out[3]["text"] == "" and out[3]["n_removed"] == len(block)
