@@ -3,9 +3,14 @@
 entry(spark)   — flagship near-dup pipeline slice on sf0.001.
 queries()      — operator catalog (SURVEY.md §2 + training-data ops),
                  implemented in courlan_spark.plans.catalog.
-oracle_sql()   — DuckDB-equivalent SQL for every deterministic query;
-                 probabilistic/UDF-kernel surfaces are rows-only and
-                 covered by the pytest suite instead.
+oracle_sql()   — DuckDB ground-truth SQL for EVERY query (29/29): the
+                 kernel surfaces (MinHash/SimHash/LSH/suffix/ANN/
+                 removal) are checked against independent re-derivations
+                 (rolling-hash shingles, splitmix64 in HUGEINT
+                 arithmetic, 63-gram diagonal runs, recursive-CTE
+                 components, exact cosine top-k) — for the
+                 probabilistic paths the oracle is the exact answer,
+                 so the comparison also audits recall.
 """
 
 from __future__ import annotations

@@ -9,15 +9,18 @@ Prints ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_PAGES (default 20000),
-     SPARK_GRAFT_BENCH_SCALING=0 to skip the low-parallelism rerun.
+     SPARK_GRAFT_BENCH_PAGES (default 120000),
+     SPARK_GRAFT_BENCH_REPEATS (default 3 interleaved pairs),
+     SPARK_GRAFT_BENCH_SCALING=0 to skip the low-parallelism reruns.
 
 The dedup corpus is generated deterministically (seed 42) and
 materialized to parquet before timing starts, so the measured time is
 engine work (scan -> UDFs -> joins -> CC -> snapshot writes), not
-corpus synthesis.  The scaling run executes the identical pipeline on
-the identical parquet input at cpus/4 — the sandbox proxy for the
-north rule's N vs 4N executors comparison.
+corpus synthesis.  Scaling runs execute the identical pipeline on the
+identical parquet input at local[4] vs local[16] — the sandbox proxy
+for the north rule's N vs 4N executors comparison — INTERLEAVED, with
+per-pair efficiencies and per-run load/CPU probes recorded (the host
+is shared; see BASELINE.md "measurement methodology").
 """
 
 from __future__ import annotations
@@ -98,7 +101,7 @@ def _cpu_probe(secs: float = 0.2) -> float:
     return round(n / secs / 1e6, 2)
 
 
-def _run_pipeline(cpus: int, corpus_path: str) -> dict:
+def _run_pipeline(cpus: int, corpus_path: str, with_recall: bool = False) -> dict:
     from courlan_spark.plans.pipeline import DedupConfig, DedupPipeline
     from courlan_spark.plans.session import get_session
 
@@ -121,21 +124,26 @@ def _run_pipeline(cpus: int, corpus_path: str) -> dict:
         pipeline.run(pages.select("url", "warc_ts", "html", "text", "lang"))
         elapsed = time.time() - started
 
-        from courlan_spark.plans.evaluate import dup_pair_recall
-
-        recall = dup_pair_recall(
-            pages.select("doc_id", "url", "cluster_id", "dup_kind"),
-            pipeline.assignments(),
-        )
-        return {
+        out = {
             "secs": round(elapsed, 2),
             "docs_per_sec": round(N_PAGES / elapsed, 1),
-            "recall": round(recall["recall"], 4),
-            "precision": round(recall["precision"], 4),
             "stages": pipeline.metrics,
             "loadavg": round(load1, 1),
             "cpu_probe_mops": probe,
         }
+        # recall/precision are deterministic across runs (seed 42), so
+        # the (untimed but minutes-costly) evaluation runs once per
+        # bench, not once per repeat
+        if with_recall:
+            from courlan_spark.plans.evaluate import dup_pair_recall
+
+            recall = dup_pair_recall(
+                pages.select("doc_id", "url", "cluster_id", "dup_kind"),
+                pipeline.assignments(),
+            )
+            out["recall"] = round(recall["recall"], 4)
+            out["precision"] = round(recall["precision"], 4)
+        return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
@@ -185,9 +193,9 @@ def main() -> None:
         scaling = None
         if WITH_SCALING:
             pairs = [
-                (_run_pipeline(SCALE_HIGH, corpus_path),
+                (_run_pipeline(SCALE_HIGH, corpus_path, with_recall=(i == 0)),
                  _run_pipeline(SCALE_LOW, corpus_path))
-                for _ in range(repeats)
+                for i in range(repeats)
             ]
             effs = sorted(
                 (h["docs_per_sec"] / lo["docs_per_sec"]) / (SCALE_HIGH / SCALE_LOW)
@@ -195,6 +203,7 @@ def main() -> None:
             )
             high_runs = [h for h, _ in pairs]
             low_runs = [lo for _, lo in pairs]
+            recall_run = high_runs[0]  # recall computed on the first run only
             high = median_run(high_runs)
             low = median_run(low_runs)
             scaling = {
@@ -216,9 +225,12 @@ def main() -> None:
                 "efficiency": round(effs[len(effs) // 2], 3),
             }
         else:
-            high = median_run(
-                [_run_pipeline(CPUS, corpus_path) for _ in range(repeats)]
-            )
+            runs = [
+                _run_pipeline(CPUS, corpus_path, with_recall=(i == 0))
+                for i in range(repeats)
+            ]
+            recall_run = runs[0]
+            high = median_run(runs)
 
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         result = {
@@ -229,8 +241,8 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "pages": N_PAGES,
             "docs_per_sec": high["docs_per_sec"],
-            "recall": high["recall"],
-            "precision": high["precision"],
+            "recall": recall_run["recall"],
+            "precision": recall_run["precision"],
             "scaling": scaling,
         }
         print(json.dumps(result))

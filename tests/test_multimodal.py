@@ -35,3 +35,46 @@ def test_media_features_and_dedup(spark):
     groups = {r["content_hash"]: r for r in exact_media_dedup(media).collect()}
     dup_group = [g for g in groups.values() if g["n_copies"] == 2]
     assert len(dup_group) == 1 and dup_group[0]["keeper_id"] == 1
+
+
+def test_resize_and_frame_sampling(spark):
+    rows = [
+        (1, "image", b"img-bytes", 640, 480, None),
+        (2, "video", b"vid-bytes", None, None, 3500),
+        (3, "audio", b"aud-bytes", None, None, 2000),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    from courlan_spark.operators.multimodal import (
+        media_neardup_pairs,
+        resize_media,
+        sample_video_frames,
+    )
+
+    resized = {r["media_id"]: r for r in resize_media(media, 128, 128).collect()}
+    assert (resized[1]["width"], resized[1]["height"]) == (128, 128)
+    assert resized[1]["payload"] != b"img-bytes"          # stub transformed
+    assert resized[2]["payload"] == b"vid-bytes"          # non-image passthrough
+    assert resized[2]["duration_ms"] == 3500
+    # deterministic stub
+    again = {r["media_id"]: r for r in resize_media(media, 128, 128).collect()}
+    assert again[1]["payload"] == resized[1]["payload"]
+
+    frames = sample_video_frames(media, every_ms=1000).collect()
+    # video of 3500ms at 1000ms cadence -> ts 0,1000,2000,3000
+    assert [(r["frame_idx"], r["ts_ms"]) for r in sorted(frames, key=lambda r: r["ts_ms"])] == [
+        (0, 0), (1, 1000), (2, 2000), (3, 3000)
+    ]
+    assert all(r["media_id"] == 2 for r in frames)
+    assert len({bytes(r["frame"]) for r in frames}) == 4  # distinct per ts
+
+    # identical payloads -> identical stub features -> cosine 1 pair
+    dup_rows = rows + [(4, "image", b"img-bytes", 640, 480, None)]
+    dup_media = spark.createDataFrame(
+        dup_rows,
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    pairs = media_neardup_pairs(dup_media, threshold=0.999).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 4)]

@@ -147,3 +147,93 @@ def test_part_extraction_udfs(spark):
     assert rows[0]["ext"] is False
     assert rows[1]["fixed"] == "https://www.eff.org"
     assert rows[1]["ext"] is True
+
+
+def test_host_rate_windows_streaming_with_watermark(spark, tmp_path):
+    """Windowed per-host crawl-rate aggregation on a file stream equals
+    the batch oracle; watermark present in the streaming plan."""
+    import pandas as pd
+
+    from courlan_spark.streaming.stateful import host_rate_windows
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    rows = []
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    for m, host, n in [(0, "a.org", 3), (0, "b.org", 1), (1, "a.org", 2), (3, "b.org", 4)]:
+        for i in range(n):
+            rows.append(
+                {"ts": base + pd.Timedelta(minutes=m, seconds=i), "host": host, "n_bytes": 100 + i}
+            )
+    pdf = pd.DataFrame(rows)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    schema = "ts timestamp, host string, n_bytes bigint"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    windowed = host_rate_windows(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("rate_windows")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].isoformat(), r["host"]): (r["n_events"], r["total_bytes"])
+        for r in spark.sql("SELECT * FROM rate_windows").collect()
+    }
+    oracle = {
+        (r["window_start"].isoformat(), r["host"]): (r["n_events"], r["total_bytes"])
+        for r in host_rate_windows(spark.createDataFrame(pdf)).collect()
+    }
+    # append mode emits only windows the watermark has CLOSED: max
+    # event time 00:03:03 - 2 min watermark = 00:01:03, so exactly the
+    # two [00:00, 00:01) windows finalize; open windows are withheld
+    # (bounded state), and every emitted value matches the batch oracle
+    closed = {k: v for k, v in oracle.items() if k[0] == "2025-01-01T00:00:00"}
+    assert got == closed and len(got) == 2
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: one emission per key across
+    micro-batches, earliest order wins inside the first batch."""
+    from courlan_spark.streaming.stateful import streaming_first_seen
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    schema = "text_hash string, seq bigint, url string"
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    batch1 = [("h1", 2, "u1b"), ("h1", 1, "u1a"), ("h2", 5, "u2")]
+    batch2 = [("h1", 0, "u1-later-batch"), ("h3", 7, "u3")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    deduped = streaming_first_seen(
+        stream, key_col="text_hash", order_col="seq", payload_cols=["url"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["text_hash"]: (r["seq"], r["url"])
+        for r in spark.sql("SELECT * FROM first_seen").collect()
+    }
+    # h1 emitted once with the earliest row of its FIRST batch (seq 1);
+    # the seq-0 row arriving in a later batch is swallowed by state
+    assert got["h1"] == (1, "u1a")
+    assert got["h2"] == (5, "u2")
+    assert got["h3"] == (7, "u3")
+    assert len(got) == 3
