@@ -1,0 +1,96 @@
+"""CLI for the end-to-end near-duplicate pipeline.
+
+The `courlan_spark.cli` module mirrors the reference binary's
+clean/filter/sample surface; this one drives the engine's flagship
+addition — the full dedup pipeline — from the command line:
+
+    python -m courlan_spark.pipeline_cli \
+        --input pages.parquet --workdir /data/dedup_run \
+        [--threshold 0.6] [--snapshot-mode all|minimal] [--resume]
+        [--parallel 8] [--language de] [--strict]
+
+Input: a parquet table shaped (url string, warc_ts timestamp,
+html binary, text string, lang string) — the Common-Crawl-style page
+table of the north rule.  Output: `<workdir>/09_assignments` snapshot
+(doc_id, norm_url, domain, cluster_id) plus `<workdir>/metrics.json`;
+the run summary prints as one JSON line.  `--resume` skips every
+stage whose snapshot already committed (identical final clusters —
+see tests/test_pipeline_recall.py).
+
+On a cluster, submit with the package zip:
+    spark-submit --py-files courlan_spark.zip -m courlan_spark.pipeline_cli ...
+(see tools/make_pyfiles_zip.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_args(args: list[str] | None = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="run the MinHash/SimHash/substring near-dup pipeline"
+    )
+    parser.add_argument("--input", required=True, help="pages parquet path")
+    parser.add_argument("--workdir", required=True, help="snapshot/checkpoint dir")
+    parser.add_argument("--threshold", type=float, default=0.6, help="Jaccard verify threshold")
+    parser.add_argument("--snapshot-mode", choices=["all", "minimal"], default="all")
+    parser.add_argument("--resume", action="store_true", help="reuse committed stage snapshots")
+    parser.add_argument("--strict", action="store_true")
+    parser.add_argument("--language")
+    parser.add_argument("--num-perm", type=int, default=128)
+    parser.add_argument("--bands", type=int, default=32)
+    parser.add_argument("--shingle-k", type=int, default=9)
+    parser.add_argument("--max-bucket-size", type=int, default=2000)
+    parser.add_argument("--no-simhash", action="store_true")
+    parser.add_argument("--no-substring", action="store_true")
+    parser.add_argument(
+        "-p", "--parallel", type=int, default=None,
+        help="local cores (cluster: use spark-submit instead)",
+    )
+    parser.add_argument("-v", "--verbose", action="store_true")
+    return parser.parse_args(args)
+
+
+def run(args: argparse.Namespace, spark=None) -> dict:
+    from .plans.pipeline import DedupConfig, DedupPipeline
+
+    own_session = spark is None
+    if own_session:
+        from .plans.session import get_session
+
+        spark = get_session(app_name="courlan-spark-pipeline", cpus=args.parallel)
+        if not args.verbose:
+            spark.sparkContext.setLogLevel("ERROR")
+    try:
+        pages = spark.read.parquet(args.input)
+        config = DedupConfig(
+            strict=args.strict,
+            language=args.language,
+            num_perm=args.num_perm,
+            bands=args.bands,
+            shingle_k=args.shingle_k,
+            jaccard_threshold=args.threshold,
+            max_bucket_size=args.max_bucket_size,
+            with_simhash_stage=not args.no_simhash,
+            with_substring_stage=not args.no_substring,
+            snapshot_mode=args.snapshot_mode,
+        )
+        pipeline = DedupPipeline(spark, args.workdir, config)
+        summary = pipeline.run(
+            pages.select("url", "warc_ts", "html", "text", "lang"),
+            resume=args.resume,
+        )
+        return summary
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def main() -> None:
+    print(json.dumps(run(parse_args()), default=str))
+
+
+if __name__ == "__main__":
+    main()

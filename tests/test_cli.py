@@ -74,3 +74,48 @@ def test_cli_sample_flow(spark, tmp_path):
     sampled = _read_parts(out)
     # only dwds.de has >0 non-root paths after filtering; sample of 2
     assert len([u for u in sampled if "dwds.de" in u]) == 2
+
+
+def test_pipeline_cli_end_to_end_and_resume(spark, tmp_path):
+    "pipeline_cli: pages parquet in, assignments snapshot + summary out; --resume reuses stages."
+    from datetime import datetime, timedelta
+
+    from courlan_spark import pipeline_cli
+
+    base = datetime(2025, 1, 1)
+    rows = []
+    for i in range(30):
+        text = f"document body number {i % 10} with plenty of shared words inside"
+        rows.append(
+            (f"https://site{i % 5}.example.org/p/{i}", base + timedelta(seconds=i),
+             b"<html></html>", text, "en")
+        )
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(src)
+
+    workdir = str(tmp_path / "run")
+    args = pipeline_cli.parse_args(
+        ["--input", src, "--workdir", workdir, "--threshold", "0.6"]
+    )
+    summary = pipeline_cli.run(args, spark=spark)
+    assert summary["n_output"] == 30
+    assert all(not s.get("resumed") for s in summary["stages"] if "resumed" in s)
+
+    first = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(workdir + "/09_assignments").collect()
+    }
+
+    args2 = pipeline_cli.parse_args(
+        ["--input", src, "--workdir", workdir, "--threshold", "0.6", "--resume"]
+    )
+    summary2 = pipeline_cli.run(args2, spark=spark)
+    resumed = [s for s in summary2["stages"] if s.get("resumed")]
+    assert len(resumed) >= 5  # every snapshot stage reused
+    second = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(workdir + "/09_assignments").collect()
+    }
+    assert first == second
