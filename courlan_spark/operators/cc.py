@@ -108,7 +108,9 @@ def connected_components(
     assignments = current.select(
         F.col("src").alias("node"), F.col("dst").alias("component")
     )
-    roots = current.select(F.col("dst").alias("node")).distinct().withColumn(
+    # no distinct on roots: the final groupBy collapses duplicates
+    # anyway — one shuffle wave saved on the critical path
+    roots = current.select(F.col("dst").alias("node")).withColumn(
         "component", F.col("node")
     )
     return (

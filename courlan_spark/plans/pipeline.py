@@ -251,8 +251,12 @@ class DedupPipeline:
                 evidence = evidence.unionByName(simhash_pairs)
             if substr_pairs is not None:
                 evidence = evidence.unionByName(substr_pairs)
+            # no explicit distinct: connected_components dedups its
+            # edge input anyway, so the extra shuffle wave would sit
+            # on the critical path twice (the observed row count is
+            # therefore pre-dedup evidence rows)
             return dedup.cluster_assignments(
-                url_unique, observed("evidence_pairs", evidence.distinct())
+                url_unique, observed("evidence_pairs", evidence)
             )
 
         clusters = self._stage("08_clusters", build_clusters, resume, kind="lazy")
