@@ -34,6 +34,7 @@ from .predicates import (
     validate_url,
 )
 from .locales import score_language_segment
+from .sampling import sample_urls
 from .textual import (
     clean_url,
     clean_query_string,
@@ -77,6 +78,7 @@ __all__ = [
     "normalize_part",
     "normalize_url",
     "parse_maybe",
+    "sample_urls",
     "path_filter",
     "scan_anchor_candidates",
     "score_language_segment",

@@ -54,10 +54,15 @@ def extract_links(
     with_nav: bool = False,
     redirects: bool = False,
     reference: str | None = None,
+    base_url: str | None = None,
 ) -> set[str]:
     """Scan a page, repair relative candidates, run check_url, apply
-    the internal/external split and variant dedup.
+    the internal/external split and variant dedup.  ``base_url`` is
+    deprecated upstream (core.py:166-168) and rejected identically.
     Parity: core.py:132-227."""
+    if base_url:
+        raise ValueError("'base_url' is deprecated, use 'url' instead.")
+
     base_url = get_base_url(url or "")
     url = url or base_url
     validlinks: set[str] = set()
@@ -104,10 +109,15 @@ def filter_links(
     external: bool = False,
     strict: bool = False,
     with_nav: bool = True,
+    base_url: str | None = None,
 ) -> tuple[list[str], list[str]]:
     """Extract links, honor robots rules, and split into (regular,
     navigation-priority) lists for crawl scheduling.
-    Parity: core.py:230-267."""
+    Parity: core.py:230-267 (base_url deprecated upstream, rejected
+    identically)."""
+    if base_url:
+        raise ValueError("'base_url' is deprecated, use 'url' instead.")
+
     links: list[str] = []
     links_priority: list[str] = []
 

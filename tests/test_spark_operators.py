@@ -358,3 +358,21 @@ def test_remove_duplicate_blocks_operator(spark):
     assert "unique tail." in out[1]["text"]
     assert out[2]["text"] == rows[2][1] and out[2]["n_removed"] == 0
     assert out[3]["text"] == "" and out[3]["n_removed"] == len(block)
+
+
+def test_scalar_sample_matches_spark_operator(spark):
+    "urlkit.sample_urls and sample_per_domain share the md5 rank: identical picks."
+    from courlan_spark.operators.frontier import exact_path_dedup, ingest_urls
+    from courlan_spark.operators.sampling import sample_per_domain
+    from courlan_spark.urlkit import sample_urls
+
+    urls = (
+        [f"https://big.org/{a}" for a in range(200)]
+        + [f"https://mid.org/x/{a}" for a in range(40)]
+        + [f"https://tiny.org/{a}" for a in range(3)]
+    )
+    scalar = sorted(sample_urls(urls, 25))
+    df = spark.createDataFrame([(u,) for u in urls], "url string").coalesce(1)
+    frontier = exact_path_dedup(ingest_urls(df))
+    dist = sorted(r["url"] for r in sample_per_domain(frontier, samplesize=25).collect())
+    assert scalar == dist
