@@ -245,6 +245,20 @@ def main() -> None:
             recall_run = runs[0]
             high = median_run(runs)
 
+        # host ceiling context: the same-box cpu and DRAM-bandwidth
+        # scaling from SCALE_LOW to SCALE_HIGH processes — the
+        # efficiency any job could reach is bounded by a mix of these
+        # (shuffle/cache stages are bandwidth-bound; one shared memory
+        # controller caps dram scaling ~0.52 on this sandbox, a
+        # single-box artifact a real N->4N cluster does not have)
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from calibrate_host import calibrate
+
+            host = calibrate(levels=(SCALE_LOW, SCALE_HIGH), seconds=1.0)
+        except Exception as exc:  # noqa: BLE001
+            host = {"error": str(exc)[:120]}
+
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         result = {
             "metric": "e2e_dedup_secs",
@@ -257,6 +271,7 @@ def main() -> None:
             "recall": recall_run["recall"],
             "precision": recall_run["precision"],
             "scaling": scaling,
+            "host_ceilings": host,
         }
         print(json.dumps(result))
     finally:

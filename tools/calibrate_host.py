@@ -1,0 +1,82 @@
+"""Host scaling calibration: what speedup can ANY job get on this box?
+
+Two micro-benchmarks, run at K parallel processes:
+
+* cpu  — a pure-register busy loop (no memory traffic): the ceiling
+  for compute-bound stages (UDF kernels).
+* dram — 32MB numpy block copies: the ceiling for bandwidth-bound
+  stages (shuffle write/read, cache build, Arrow transfer).
+
+The N->4N "scaling efficiency" of a real pipeline is bounded by a mix
+of these two ceilings.  Measured on this sandbox (2026-08-16):
+cpu 4->16 ~ 3.55x (0.89 efficiency: SMT), dram 4->16 ~ 2.1x (0.52:
+one shared memory controller).  A shuffle-realistic dedup pipeline
+therefore CANNOT reach 0.8 wall-clock efficiency on this box — that
+limit is an artifact of simulating executors as threads in one
+memory domain; on a real cluster each added executor brings its own
+memory channels and the bandwidth term scales with node count.
+
+Usage: python tools/calibrate_host.py  -> one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import time
+
+
+def _cpu_worker(seconds: float, q) -> None:
+    deadline = time.perf_counter() + seconds
+    n = 0
+    x = 1.0
+    while time.perf_counter() < deadline:
+        x = x * 1.0000001 + 1.0
+        n += 1
+    q.put(n)
+
+
+def _dram_worker(seconds: float, q) -> None:
+    import numpy as np
+
+    a = np.random.rand(32 * 1024 * 1024 // 8)  # 32 MB
+    b = np.empty_like(a)
+    n = 0
+    deadline = time.perf_counter() + seconds
+    while time.perf_counter() < deadline:
+        np.copyto(b, a)
+        n += 1
+    q.put(n * 64)  # MB moved (read + write)
+
+
+def _run(worker, k: int, seconds: float) -> float:
+    q = mp.Queue()
+    procs = [mp.Process(target=worker, args=(seconds, q)) for _ in range(k)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    return sum(q.get() for _ in range(k)) / seconds
+
+
+def calibrate(levels: tuple[int, ...] = (4, 16), seconds: float = 1.5) -> dict:
+    "Aggregate throughput per level + the low->high scaling efficiency."
+    out: dict = {"levels": list(levels)}
+    for name, worker, unit, div in (
+        ("cpu", _cpu_worker, "Mops", 1e6),
+        ("dram", _dram_worker, "GB/s", 1024.0),
+    ):
+        rates = {k: _run(worker, k, seconds) for k in levels}
+        lo, hi = levels[0], levels[-1]
+        out[name] = {
+            "unit": unit,
+            "throughput": {str(k): round(v / div, 2) for k, v in rates.items()},
+            "scaling_efficiency": round(
+                (rates[hi] / rates[lo]) / (hi / lo), 3
+            ),
+        }
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(calibrate()))
