@@ -101,6 +101,30 @@ def _cpu_probe(secs: float = 0.2) -> float:
     return round(n / secs / 1e6, 2)
 
 
+def _dram_probe(secs: float = 0.25) -> float:
+    """Single-thread memcpy GB/s — the probe that matters most: shuffle
+    and cache stages are bandwidth-bound, neighbor memory traffic hits
+    the 16-thread level ~3x harder than the 4-thread level, and CPU
+    probes cannot see it (idle single-thread ~20-24 GB/s on this box)."""
+    import numpy as np
+
+    a = np.random.rand(32 * 1024 * 1024 // 8)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # fault the destination pages in before timing
+    n = 0
+    deadline = time.perf_counter() + secs
+    while time.perf_counter() < deadline:
+        np.copyto(b, a)
+        n += 1
+    return round(n * 64 / 1024.0 / secs, 1)
+
+
+# pre-registered contention thresholds for the "uncontended pairs"
+# metric (≈80% of the idle single-thread rates measured on this box)
+_CPU_PROBE_OK = 5.0   # Mops
+_DRAM_PROBE_OK = 15.0  # GB/s
+
+
 def _run_pipeline(cpus: int, corpus_path: str, with_recall: bool = False) -> dict:
     from courlan_spark.plans.pipeline import DedupConfig, DedupPipeline
     from courlan_spark.plans.session import get_session
@@ -110,6 +134,7 @@ def _run_pipeline(cpus: int, corpus_path: str, with_recall: bool = False) -> dic
     _warm_workers(spark, cpus)
     load1, _, _ = os.getloadavg()
     probe = _cpu_probe()
+    dram = _dram_probe()
 
     pages = spark.read.parquet(corpus_path)
     workdir = tempfile.mkdtemp(prefix=f"bench_pipe_{cpus}_")
@@ -130,6 +155,7 @@ def _run_pipeline(cpus: int, corpus_path: str, with_recall: bool = False) -> dic
             "stages": pipeline.metrics,
             "loadavg": round(load1, 1),
             "cpu_probe_mops": probe,
+            "dram_probe_gbs": dram,
         }
         # recall/precision are deterministic across runs (seed 42), so
         # the (untimed but minutes-costly) evaluation runs once per
@@ -231,12 +257,32 @@ def main() -> None:
                 "cpu_probe_high": [r["cpu_probe_mops"] for r in high_runs],
                 "docs_per_sec_low": low["docs_per_sec"],
                 "docs_per_sec_high": high["docs_per_sec"],
+                "dram_probe_low": [r["dram_probe_gbs"] for r in low_runs],
+                "dram_probe_high": [r["dram_probe_gbs"] for r in high_runs],
                 "pair_efficiencies": [round(e, 3) for e in effs],
                 "efficiency": round(effs[len(effs) // 2], 3),
                 "least_contended_pair_efficiency": round(
                     pair_eff(calm_h, calm_lo), 3
                 ),
             }
+            # pre-registered rule: a pair counts as uncontended when
+            # every probe of both its runs clears ~80% of the idle
+            # single-thread rate; the median over those pairs isolates
+            # the engine's structural scaling from neighbor traffic
+            clean = [
+                pair_eff(h, lo)
+                for h, lo in pairs
+                if min(h["cpu_probe_mops"], lo["cpu_probe_mops"]) >= _CPU_PROBE_OK
+                and min(h["dram_probe_gbs"], lo["dram_probe_gbs"]) >= _DRAM_PROBE_OK
+            ]
+            if clean:
+                clean.sort()
+                scaling["uncontended_pair_efficiencies"] = [
+                    round(e, 3) for e in clean
+                ]
+                scaling["efficiency_uncontended"] = round(
+                    clean[len(clean) // 2], 3
+                )
         else:
             runs = [
                 _run_pipeline(CPUS, corpus_path, with_recall=(i == 0))

@@ -41,6 +41,7 @@ def _dram_worker(seconds: float, q) -> None:
 
     a = np.random.rand(32 * 1024 * 1024 // 8)  # 32 MB
     b = np.empty_like(a)
+    np.copyto(b, a)  # fault destination pages in before timing
     n = 0
     deadline = time.perf_counter() + seconds
     while time.perf_counter() < deadline:
