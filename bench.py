@@ -150,13 +150,16 @@ def _run_pipeline(cpus: int, corpus_path: str, with_recall: bool = False) -> dic
         pipeline.run(pages.select("url", "warc_ts", "html", "text", "lang"))
         elapsed = time.time() - started
 
+        # probe again AFTER the run: contention frequently arrives
+        # mid-run, which a start-only probe cannot see; gating uses the
+        # worse of the two samples
         out = {
             "secs": round(elapsed, 2),
             "docs_per_sec": round(N_PAGES / elapsed, 1),
             "stages": pipeline.metrics,
             "loadavg": round(load1, 1),
-            "cpu_probe_mops": probe,
-            "dram_probe_gbs": dram,
+            "cpu_probe_mops": min(probe, _cpu_probe()),
+            "dram_probe_gbs": min(dram, _dram_probe()),
         }
         # recall/precision are deterministic across runs (seed 42), so
         # the (untimed but minutes-costly) evaluation runs once per
