@@ -36,11 +36,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
 WITH_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-# N vs 4N proxy: local[4] vs local[16].  The box advertises 32 CPUs
-# but a pure-CPU calibration (32 single-thread processes) delivers
-# only ~3.2x the throughput of 8 — the top half is SMT; 4->16 is the
-# largest pairing where the hardware itself can provide ~4x
-# (calibrated ~3.55x), so it is the honest scaling proxy.
+# N vs 4N proxy: local[4] vs local[16].  The hardware itself caps the
+# achievable ratio (tools/calibrate_host.py, embedded per-run as
+# host_ceilings): compute-bound stages can reach ~0.9-1.0 efficiency
+# at this pairing, but bandwidth-bound stages (shuffle/cache/Arrow)
+# only ~0.6 — 4 copy threads already drive ~76 of the box's ~182 GB/s,
+# one shared memory controller.  A real N->4N cluster adds memory
+# channels with each executor; this single-box limit is documented in
+# BASELINE.md and every emitted JSON carries the same-run calibration.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "4"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "16"))
 
