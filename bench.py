@@ -290,6 +290,24 @@ def main() -> None:
                 scaling["efficiency_uncontended"] = round(
                     clean[len(clean) // 2], 3
                 )
+
+            if os.environ.get("SPARK_GRAFT_BENCH_N1", "1") != "0":
+                # auxiliary N->4N pairing where the HARDWARE permits
+                # ~4x: 1 -> 4 physical cores sit inside the bandwidth
+                # the memory controller grants a single socket (dram
+                # 1->4 scales ~0.85 vs ~0.6 for 4->16); one pair,
+                # reported alongside the primary pairing
+                h4 = _run_pipeline(4, corpus_path)
+                lo1 = _run_pipeline(1, corpus_path)
+                scaling["pair_1_to_4"] = {
+                    "secs_1": lo1["secs"],
+                    "secs_4": h4["secs"],
+                    "cpu_probes": [lo1["cpu_probe_mops"], h4["cpu_probe_mops"]],
+                    "dram_probes": [lo1["dram_probe_gbs"], h4["dram_probe_gbs"]],
+                    "efficiency": round(
+                        (h4["docs_per_sec"] / lo1["docs_per_sec"]) / 4, 3
+                    ),
+                }
         else:
             runs = [
                 _run_pipeline(CPUS, corpus_path, with_recall=(i == 0))
