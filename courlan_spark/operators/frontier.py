@@ -173,7 +173,10 @@ def merge_new_urls(frontier: DataFrame, batch: DataFrame) -> DataFrame:
         .join(known, ["host", "_canon"], "left_anti")
         .drop("_canon")
     )
-    return frontier.unionByName(fresh)
+    # allowMissingColumns: the store may carry lifecycle columns the
+    # batch does not (host_ts stamped by mark_visited, busted markers
+    # from discard_hosts) — new rows take nulls there
+    return frontier.unionByName(fresh, allowMissingColumns=True)
 
 
 def dedup_variants(frontier: DataFrame) -> DataFrame:

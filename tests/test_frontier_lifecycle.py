@@ -149,3 +149,27 @@ def test_ingest_with_explicit_order_col(spark):
         for r in frontier.next_urls(fr, per_host=20).orderBy("rn").collect()
     ]
     assert got == [f"/o/{i}" for i in range(20)]
+
+
+def test_merge_after_mark_visited_and_discard(spark):
+    """Lifecycle columns added by mark_visited (host_ts) and
+    discard_hosts (busted) must not break later batch merges."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    store = _ingest(spark, [f"{DOM}/l/{i}" for i in range(4)])
+    picks = frontier.get_download_urls(store, time_limit=5.0)
+    hp = picks.withColumn("path", F.expr("substring(url, length(host) + 1)")).select(
+        "host", "path"
+    )
+    stamped = frontier.mark_visited(store, hp, visit_ts=datetime(2025, 1, 1))
+    busted = frontier.discard_hosts(stamped, [TEST])
+    batch = _ingest(spark, [f"{DOM}/new/{i}" for i in range(3)], seq_offset=100)
+    merged = frontier.merge_new_urls(busted, batch)
+    assert "host_ts" in merged.columns and "busted" in merged.columns
+    rows = merged.where(F.col("path").isNotNull()).count()
+    assert rows == 4 + 3
+    # new rows carry null lifecycle columns
+    fresh = merged.where(F.col("path").startswith("/new/")).collect()
+    assert all(r["host_ts"] is None and not r["busted"] for r in fresh)
