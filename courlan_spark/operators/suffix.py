@@ -264,8 +264,6 @@ def remove_duplicate_blocks(
     ``n_removed`` (characters dropped)."""
     from pyspark.sql.functions import pandas_udf
 
-    from .dedup import attach_pair_payloads  # noqa: F401  (shared seam)
-
     if min_length < w + k - 1:
         raise ValueError(
             f"min_length={min_length} below the winnowing guarantee "
