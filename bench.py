@@ -44,6 +44,9 @@ WITH_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # one shared memory controller.  A real N->4N cluster adds memory
 # channels with each executor; this single-box limit is documented in
 # BASELINE.md and every emitted JSON carries the same-run calibration.
+# (set SPARK_GRAFT_SCALE_LOW=1 SPARK_GRAFT_SCALE_HIGH=4 to make the
+# hardware-permitting pairing primary — BASELINE.md records a
+# dedicated median-of-3 there at 0.808)
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "4"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "16"))
 
