@@ -237,3 +237,55 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     assert got["h2"] == (5, "u2")
     assert got["h3"] == (7, "u3")
     assert len(got) == 3
+
+
+def test_streaming_first_seen_state_survives_restart(spark, tmp_path):
+    """The per-key dedup state lives in the checkpointed state store:
+    stopping the query and starting a new one over the same checkpoint
+    must NOT re-emit keys already seen in the previous run."""
+    from courlan_spark.streaming.stateful import streaming_first_seen
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    ck = str(tmp_path / "restart_ck")
+    schema = "text_hash string, seq bigint, url string"
+
+    out = str(tmp_path / "restart_out")
+
+    def start_query():
+        # parquet sink: unlike the memory sink it supports recovering
+        # from an existing checkpoint, which is the point of this test
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        deduped = streaming_first_seen(
+            stream, key_col="text_hash", order_col="seq", payload_cols=["url"]
+        )
+        return (
+            deduped.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    spark.createDataFrame(
+        [("k1", 1, "first"), ("k2", 2, "other")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    q1 = start_query()
+    q1.awaitTermination(120)
+    got1 = {r["text_hash"]: r["url"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {"k1": "first", "k2": "other"}
+
+    # second run, same checkpoint: k1 duplicate must be swallowed by
+    # the restored state; only the new key emits
+    spark.createDataFrame(
+        [("k1", 0, "dup-after-restart"), ("k3", 9, "fresh")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    q2 = start_query()
+    q2.awaitTermination(120)
+    got2 = {r["text_hash"]: r["url"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {"k1": "first", "k2": "other", "k3": "fresh"}
