@@ -54,6 +54,76 @@ def host_rate_windows(
     )
 
 
+def streaming_minhash_candidates(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 32,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Incremental near-duplicate CANDIDATE pairs over a document
+    stream: each arriving document's MinHash band keys probe per-bucket
+    state (the ids already seen in that bucket) and emit (doc_a, doc_b,
+    band_key) for every collision — the streaming form of the batch
+    LSH candidate stage, with the bucket self-join replaced by
+    applyInPandasWithState keyed on band_key.
+
+    State per bucket is the bounded id list (``max_bucket_size``, the
+    same no-silent-cap rule as the batch path: full buckets stop
+    ACCUMULATING but still report collisions against the stored
+    members).  Pairs are candidates only — exact Jaccard verification
+    runs downstream (foreachBatch or offline), exactly as in the batch
+    pipeline.  Within a batch, documents are processed in ascending id
+    order so output is deterministic; doc_a < doc_b always."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.hashing import make_band_hash_udf, make_minhash_udf
+
+    minhash = make_minhash_udf(num_perm=num_perm)
+    band_udf = make_band_hash_udf(bands=bands)
+    banded = docs_stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(band_udf(minhash(F.col(text_col)))).alias("band_key"),
+    )
+
+    def probe(key, pdfs: Iterable[pd.DataFrame], state):
+        stored: list[int] = list(state.get[0]) if state.exists else []
+        members = set(stored)
+        incoming: set[int] = set()
+        for pdf in pdfs:
+            incoming.update(int(x) for x in pdf["doc_id"])
+        out_a, out_b = [], []
+        new_ids: list[int] = []
+        for doc in sorted(incoming):
+            if doc in members:
+                continue
+            for other in members:
+                lo, hi = (other, doc) if other < doc else (doc, other)
+                out_a.append(lo)
+                out_b.append(hi)
+            members.add(doc)
+            new_ids.append(doc)
+        if len(stored) < max_bucket_size and new_ids:
+            state.update((stored + new_ids[: max_bucket_size - len(stored)],))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "doc_a": out_a,
+                    "doc_b": out_b,
+                    "band_key": [key[0]] * len(out_a),
+                }
+            )
+
+    return banded.groupBy("band_key").applyInPandasWithState(
+        probe,
+        outputStructType="doc_a long, doc_b long, band_key long",
+        stateStructType="ids array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _DEDUP_STATE_SCHEMA = "emitted boolean"
 
 

@@ -289,3 +289,58 @@ def test_streaming_first_seen_state_survives_restart(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r["text_hash"]: r["url"] for r in spark.read.parquet(out).collect()}
     assert got2 == {"k1": "first", "k2": "other", "k3": "fresh"}
+
+
+def test_streaming_minhash_candidates_incremental(spark, tmp_path):
+    """Streaming LSH candidates: near-dup pairs surface both within a
+    micro-batch and ACROSS batches (per-bucket state carries earlier
+    members), and match the batch LSH candidate set on the same docs."""
+    from courlan_spark.operators import dedup
+    from courlan_spark.streaming.stateful import streaming_minhash_candidates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain stays mainly in the plain and the band plays on and on"
+    )
+    uniq = [
+        "completely different content about astronomy and telescopes number one",
+        "another unrelated text describing cooking recipes and kitchen tools",
+    ]
+    rows_b1 = [(1, base), (2, base + " extra tail"), (3, uniq[0])]
+    rows_b2 = [(4, base + " extra tail!"), (5, uniq[1])]
+    schema = "doc_id long, text string"
+
+    src = tmp_path / "mh_src"
+    src.mkdir()
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    cands = streaming_minhash_candidates(stream)
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("mh_cands")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "mh_ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.sql("SELECT doc_a, doc_b FROM mh_cands").collect()
+    }
+
+    # batch-path candidates over the same corpus are the oracle
+    docs = spark.createDataFrame(rows_b1 + rows_b2, schema)
+    sigs = dedup.minhash_signatures(docs)
+    batch_pairs, _ = dedup.lsh_candidate_pairs(sigs)
+    expected = {(r["doc_a"], r["doc_b"]) for r in batch_pairs.collect()}
+
+    assert got == expected
+    assert (1, 2) in got           # within batch 1
+    assert (1, 4) in got and (2, 4) in got   # across batches via state
