@@ -124,6 +124,52 @@ def streaming_minhash_candidates(
     )
 
 
+def start_streaming_neardup(
+    docs_stream: DataFrame,
+    docs_table_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    trigger_once: bool = True,
+    **candidate_kwargs,
+):
+    """Full incremental near-duplicate pipeline on Structured
+    Streaming: MinHash band-bucket state emits candidate pairs as
+    documents arrive (:func:`streaming_minhash_candidates`); each
+    micro-batch's candidates are exact-Jaccard verified in
+    foreachBatch against the document store at ``docs_table_path``
+    (the crawl's accumulated doc table — at production scale an
+    Iceberg table; any doc that produced a candidate is already
+    persisted there by the ingest path) and verified pairs append to
+    ``out_path``.
+
+    Returns the StreamingQuery.  Cross-batch pairs work because the
+    bucket state carries earlier members: a doc arriving in batch N
+    pairs against docs from batches < N without re-reading them."""
+    from ..operators import dedup
+
+    candidates = streaming_minhash_candidates(
+        docs_stream, id_col=id_col, text_col=text_col, **candidate_kwargs
+    )
+
+    def verify_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = batch_df.select("doc_a", "doc_b").distinct()
+        docs = batch_df.sparkSession.read.parquet(docs_table_path)
+        verified = dedup.verify_pairs_jaccard(
+            pairs, docs, id_col=id_col, text_col=text_col, threshold=threshold
+        )
+        verified.write.mode("append").parquet(out_path)
+
+    writer = candidates.writeStream.foreachBatch(verify_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 _DEDUP_STATE_SCHEMA = "emitted boolean"
 
 

@@ -344,3 +344,63 @@ def test_streaming_minhash_candidates_incremental(spark, tmp_path):
     assert got == expected
     assert (1, 2) in got           # within batch 1
     assert (1, 4) in got and (2, 4) in got   # across batches via state
+
+
+def test_streaming_neardup_pipeline_matches_batch(spark, tmp_path):
+    """End-to-end streaming near-dup: candidates from bucket state,
+    exact-Jaccard verify in foreachBatch — verified pairs equal the
+    batch pipeline's on the same corpus."""
+    from courlan_spark.operators import dedup
+    from courlan_spark.streaming.stateful import start_streaming_neardup
+
+    base = (
+        "shared boilerplate paragraph that repeats nearly verbatim across "
+        "these documents with only minor edits at the end of the text body"
+    )
+    rows_b1 = [
+        (1, base + " first"),
+        (2, base + " second"),
+        (3, "a totally different document about gardening and soil quality"),
+    ]
+    rows_b2 = [
+        (4, base + " fourth"),
+        (5, "yet another unrelated text on medieval history and castles"),
+    ]
+    schema = "doc_id long, text string"
+    all_rows = rows_b1 + rows_b2
+
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    # the accumulated document store (what ingest would have persisted)
+    docs_path = str(tmp_path / "nd_docs")
+    spark.createDataFrame(all_rows, schema).write.parquet(docs_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = str(tmp_path / "nd_out")
+    q = start_streaming_neardup(
+        stream, docs_path, out, str(tmp_path / "nd_ck"), threshold=0.6
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(out).select("doc_a", "doc_b").collect()
+    }
+    # batch oracle: same corpus through the batch LSH + verify path
+    docs = spark.createDataFrame(all_rows, schema)
+    sigs = dedup.minhash_signatures(docs)
+    pairs, _ = dedup.lsh_candidate_pairs(sigs)
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.verify_pairs_jaccard(pairs, docs, threshold=0.6)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert got == expected
+    assert (1, 4) in got  # cross-batch verified pair
