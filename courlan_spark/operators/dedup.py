@@ -136,11 +136,21 @@ def bucket_pair_explode(
 
     The sorted member array makes doc_a < doc_b by construction.
     ``observation`` (optional pyspark Observation) records
-    dropped-bucket accounting on the aggregation pass itself — no
-    count() job, and the node executes exactly once (attaching metrics
-    below a self-join would clone the CollectMetrics node and break
+    dropped-bucket accounting on the pass itself — no count() job, and
+    the node executes exactly once (attaching metrics below a
+    self-join would clone the CollectMetrics node and break
     Observation.get).  Callers passing an observation must act on the
     returned pairs exactly once.
+
+    Memory bound: when ``max_bucket_size`` is set, oversized buckets
+    are pruned on the membership ROWS — a windowed count over the
+    bucket key, which shares the aggregation's exchange — BEFORE the
+    collect_list, so a hub bucket (millions of members under one band
+    key) never materializes as an in-memory array on any executor.
+    The window sort is spillable; collect_list is not.  Accounting
+    therefore also rides the membership rows (dropped_rows = member
+    rows in oversized buckets; dropped_buckets via each bucket's
+    row_number()==1 representative).
     """
     if payload_col is None:
         member = F.col("doc_id")
@@ -148,25 +158,41 @@ def bucket_pair_explode(
         member = F.struct(
             F.col("doc_id").alias("id"), F.col(payload_col).alias("pl")
         )
-    grouped = exploded.groupBy(key_col).agg(
-        F.array_sort(F.collect_list(member)).alias("ids")
-    )
-    if observation is not None:
-        cap = max_bucket_size if max_bucket_size is not None else (1 << 62)
-        grouped = grouped.observe(
-            observation,
-            F.sum((F.size("ids") > cap).cast("long")).alias("dropped_buckets"),
-            F.sum(
-                F.when(F.size("ids") > cap, F.size("ids")).otherwise(0).cast("long")
-            ).alias("dropped_rows"),
-            F.count(F.lit(1)).alias("buckets"),
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        over = F.col("_bsz") > max_bucket_size
+        sized = exploded.withColumn(
+            "_bsz", F.count(F.lit(1)).over(Window.partitionBy(key_col))
+        ).withColumn(
+            "_brn",
+            F.row_number().over(Window.partitionBy(key_col).orderBy("doc_id")),
         )
-    upper = (
-        (F.size("ids") <= max_bucket_size)
-        if max_bucket_size is not None
-        else F.lit(True)
-    )
-    kept = grouped.where((F.size("ids") >= 2) & upper)
+        if observation is not None:
+            first = F.col("_brn") == 1
+            sized = sized.observe(
+                observation,
+                F.sum((over & first).cast("long")).alias("dropped_buckets"),
+                F.sum(over.cast("long")).alias("dropped_rows"),
+                F.sum(first.cast("long")).alias("buckets"),
+            )
+        bounded = sized.where((F.col("_bsz") >= 2) & ~over)
+        grouped = bounded.groupBy(key_col).agg(
+            F.array_sort(F.collect_list(member)).alias("ids")
+        )
+        kept = grouped
+    else:
+        grouped = exploded.groupBy(key_col).agg(
+            F.array_sort(F.collect_list(member)).alias("ids")
+        )
+        if observation is not None:
+            grouped = grouped.observe(
+                observation,
+                F.sum(F.lit(0).cast("long")).alias("dropped_buckets"),
+                F.sum(F.lit(0).cast("long")).alias("dropped_rows"),
+                F.count(F.lit(1)).alias("buckets"),
+            )
+        kept = grouped.where(F.size("ids") >= 2)
     pair_expr = F.explode(
         F.flatten(
             F.transform(

@@ -19,19 +19,55 @@ def _optimized(df) -> str:
 
 
 def test_bucket_pair_explode_single_aggregation(spark):
-    """Candidate generation is ONE hash aggregation over the bucket
-    key: no join and no window in the plan (the round-1 shape cost a
-    window shuffle+sort plus a sort-merge self-join)."""
+    """Candidate generation shuffles the membership rows exactly ONCE:
+    the capped path pre-filters oversized buckets with a windowed
+    count (bounding collect_list memory — round-3 ADVICE fix) whose
+    exchange the hash aggregation then reuses; no join anywhere (the
+    round-1 shape also paid a sort-merge self-join)."""
     df = spark.range(0, 5000).select(
         F.col("id").alias("doc_id"), (F.col("id") % 37).alias("k")
     )
     pairs = dedup.bucket_pair_explode(df, "k", 500)
     plan = _optimized(pairs)
     assert "Join" not in plan
-    assert "Window" not in plan
     physical = _plan(pairs)
-    # exactly the one exchange that partitions bucket members by key
+    # exactly the one exchange that partitions bucket members by key,
+    # shared by the size window and the collect_list aggregation
     assert physical.count("Exchange") == 1
+    assert "Window" in physical
+
+
+def test_bucket_pair_explode_uncapped_no_window(spark):
+    "Without a cap there is no window pass — one pure hash aggregation."
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("k")
+    )
+    pairs = dedup.bucket_pair_explode(df, "k", None)
+    physical = _plan(pairs)
+    assert "Window" not in physical
+    assert physical.count("Exchange") == 1
+
+
+def test_bucket_pair_explode_cap_bounds_aggregation_input(spark):
+    """Oversized buckets are pruned BEFORE the collect_list: with one
+    hub key holding 4000 of 4040 rows and cap=50, the pairs exclude
+    the hub entirely and the observed accounting matches exactly."""
+    from pyspark.sql import Observation
+
+    df = spark.range(0, 4040).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 4000, F.lit(0)).otherwise(F.col("id") % 2 + 1).alias("k"),
+    )
+    obs = Observation("cap_acct")
+    pairs = dedup.bucket_pair_explode(df, "k", 50, observation=obs)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # hub key 0 dropped; keys 1 and 2 hold 20 docs each -> C(20,2) pairs
+    assert len(got) == 2 * (20 * 19) // 2
+    assert all(a >= 4000 and b >= 4000 for a, b in got)
+    metrics = obs.get
+    assert metrics["dropped_buckets"] == 1
+    assert metrics["dropped_rows"] == 4000
+    assert metrics["buckets"] == 3
 
 
 def test_attach_pair_payloads_single_table_pass(spark):
