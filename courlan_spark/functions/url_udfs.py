@@ -20,13 +20,23 @@ from pyspark.sql.types import (
     StructType,
 )
 
+import numpy as np
+
 from ..urlkit import (
+    check_scrubbed_url,
     check_url,
+    make_check_caches,
     extract_domain,
     extract_links,
     get_host_and_path,
     normalize_url,
     scrub_url,
+)
+from ..urlkit.patterns import (
+    RX_ADULT_VIDEO,
+    RX_FILE_TYPE,
+    RX_NAVIGATION,
+    RX_SITE_STRUCTURE,
 )
 
 CHECK_RESULT_SCHEMA = StructType(
@@ -36,12 +46,95 @@ CHECK_RESULT_SCHEMA = StructType(
     ]
 )
 
+# rows on which scrub_url (urlkit/textual.py:49) is provably the
+# identity skip the per-row call: no whitespace/control chars, no
+# markup/CDATA/garbage chars (<>"{}), no entity-encoded or trailing
+# ampersand, no doubled protocol — plus, checked separately, not a
+# 3-slash/trailing-slash URL (the hostname-only rstrip branch)
+import re as _re
+
+_RX_SCRUB_DIRTY = _re.compile(r'[\s\x00-\x1f<>"{}]|&amp;|/&$|://.*://')
+
 HOST_PATH_SCHEMA = StructType(
     [
         StructField("host", StringType()),
         StructField("path", StringType()),
     ]
 )
+
+
+def check_url_batch(
+    urls: pd.Series,
+    strict: bool = False,
+    language: str | None = None,
+    with_nav: bool = False,
+    trailing_slash: bool = True,
+) -> pd.DataFrame:
+    """Batch check_url over a pandas Series: the cheap-reject prefix
+    (basic_filter length/prefix gate, then the type_filter regex
+    battery over the scrubbed URL) runs as VECTORIZED pandas string
+    operations, so only survivors pay the per-row urlsplit/normalize/
+    PSL tail (``check_scrubbed_url`` — the same function the scalar
+    ``check_url`` ends in, so parity is single-sourced).  On a
+    web-crawl mix where most rows die early this is the difference
+    between a per-row Python loop and a handful of C-loop passes.
+
+    Returns a DataFrame (norm_url, domain) positionally aligned with
+    the input; both columns NULL for rejected rows.
+    """
+    values = urls.to_numpy(dtype=object, copy=False)
+    n = len(values)
+    norms = np.full(n, None, dtype=object)
+    domains = np.full(n, None, dtype=object)
+
+    s = pd.Series(values)
+    alive = s.map(lambda u: isinstance(u, str)).to_numpy(dtype=bool)
+    sv = s[alive]
+    if len(sv):
+        # basic_filter, vectorized (urlkit/predicates.py:35)
+        lens = sv.str.len()
+        sv = sv[(lens >= 10) & (lens < 500) & sv.str.startswith("http")]
+    if len(sv):
+        # scrub_url is exception-free on str input; the later filters
+        # and the tail all operate on the scrubbed form.  Most crawl
+        # URLs are scrub-identical — prove it vectorized and call the
+        # per-row repair only on the dirty residue.
+        dirty = (
+            sv.str.contains(_RX_SCRUB_DIRTY, regex=True)
+            | (sv.str.count("/").eq(3) & sv.str.endswith("/"))
+        )
+        scrubbed = sv.copy()
+        if dirty.any():
+            scrubbed[dirty] = sv[dirty].map(scrub_url)
+        # type_filter, vectorized (urlkit/predicates.py:108): same
+        # boolean structure, .str.contains == re.search per element
+        reject = scrubbed.str.endswith(("/feed", "/rss", "_archive.html"))
+        site = scrubbed.str.contains(RX_SITE_STRUCTURE, regex=True)
+        if with_nav:
+            site &= ~scrubbed.str.contains(RX_NAVIGATION, regex=True)
+        reject |= site
+        if strict:
+            reject |= scrubbed.str.contains(
+                RX_FILE_TYPE, regex=True
+            ) | scrubbed.str.contains(RX_ADULT_VIDEO, regex=True)
+        survivors = scrubbed[~reject]
+        # per-batch memo tables (hosts/queries repeat in crawl data;
+        # all caches are pure in their keys — see make_check_caches)
+        # plus a whole-result memo for repeated URLs
+        caches = make_check_caches()
+        memo: dict[str, tuple[str, str] | None] = {}
+        for pos, url in survivors.items():
+            if url in memo:
+                checked = memo[url]
+            else:
+                checked = check_scrubbed_url(
+                    url, strict, language, trailing_slash, caches
+                )
+                memo[url] = checked
+            if checked is not None:
+                norms[pos] = checked[0]
+                domains[pos] = checked[1]
+    return pd.DataFrame({"norm_url": norms, "domain": domains})
 
 
 def make_check_url_udf(
@@ -55,27 +148,13 @@ def make_check_url_udf(
 
     @pandas_udf(CHECK_RESULT_SCHEMA)
     def check_udf(urls: pd.Series) -> pd.DataFrame:
-        norms: list[str | None] = []
-        domains: list[str | None] = []
-        for url in urls:
-            checked = (
-                check_url(
-                    url,
-                    strict=strict,
-                    language=language,
-                    with_nav=with_nav,
-                    trailing_slash=trailing_slash,
-                )
-                if isinstance(url, str)
-                else None
-            )
-            if checked is None:
-                norms.append(None)
-                domains.append(None)
-            else:
-                norms.append(checked[0])
-                domains.append(checked[1])
-        return pd.DataFrame({"norm_url": norms, "domain": domains})
+        return check_url_batch(
+            urls,
+            strict=strict,
+            language=language,
+            with_nav=with_nav,
+            trailing_slash=trailing_slash,
+        )
 
     # The function is pure; the nondeterministic marking is an optimizer
     # hint that stops Catalyst from duplicating the (expensive) UDF when

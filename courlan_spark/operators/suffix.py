@@ -247,6 +247,8 @@ def remove_duplicate_blocks(
     k: int = DEFAULT_KGRAM,
     w: int = DEFAULT_WINDOW,
     max_bucket_size: int | None = None,
+    max_refs_per_doc: int | None = 8,
+    observation=None,
 ) -> DataFrame:
     """Long-verbatim-block REMOVAL (the training-data variant of the
     substring stage): every document is rewritten with the characters
@@ -257,11 +259,24 @@ def remove_duplicate_blocks(
     guarantee, so every sharing pair is found) orient earliest->later,
     the later doc collects its partners' distinct texts (one shuffle),
     and a pandas UDF strips the covered spans.  Exact for
-    min_length >= w + k - 1 and max_bucket_size=None; at web scale set
-    a bucket cap and accept the documented recall trade.
+    min_length >= w + k - 1, max_bucket_size=None AND
+    max_refs_per_doc=None.
+
+    Memory bound (round-3 fix): ``max_refs_per_doc`` caps how many
+    partner TEXTS a document's ``_refs`` array may carry — without it,
+    a boilerplate block shared by 10^5 documents would make every
+    later doc's row collect up to bucket-cap-many full document texts
+    (an executor-OOM row at web scale, not a slow one).  The kept
+    partners are the ``max_refs_per_doc`` smallest doc ids per dupe
+    (deterministic; a window over the same key the collect aggregation
+    shuffles on, so the cap shares that exchange), and ``observation``
+    (optional pyspark Observation) records refs kept/dropped and the
+    number of affected docs — no silent truncation.  Docs whose refs
+    were dropped may under-strip; the accounting makes that auditable.
 
     Returns the input columns with ``text`` rewritten plus
     ``n_removed`` (characters dropped)."""
+    from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
     if min_length < w + k - 1:
@@ -278,6 +293,22 @@ def remove_duplicate_blocks(
         max_bucket_size=max_bucket_size,
         min_shared_fps=1,
     )
+    if max_refs_per_doc is not None:
+        ranked = pairs.withColumn(
+            "_ref_rn",
+            F.row_number().over(Window.partitionBy("doc_b").orderBy("doc_a")),
+        )
+        if observation is not None:
+            over_cap = F.col("_ref_rn") > max_refs_per_doc
+            ranked = ranked.observe(
+                observation,
+                F.sum((~over_cap).cast("long")).alias("refs_kept"),
+                F.sum(over_cap.cast("long")).alias("refs_dropped"),
+                F.sum(
+                    (F.col("_ref_rn") == max_refs_per_doc + 1).cast("long")
+                ).alias("docs_with_dropped_refs"),
+            )
+        pairs = ranked.where(F.col("_ref_rn") <= max_refs_per_doc).drop("_ref_rn")
     texts = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_rtext"))
     refs = (
         pairs.join(texts, "doc_a")  # doc_a < doc_b: doc_a is the keeper

@@ -496,7 +496,12 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     text reassembled by string_agg and md5-compared."""
     _views(spark, sf_dir, "documents")
     docs = spark.table("documents").select("doc_id", "text")
-    out = suffix_ops.remove_duplicate_blocks(docs)
+    # max_refs_per_doc=None: this is the ORACLE harness — the DuckDB
+    # side computes the exact uncapped semantics.  The scale path is
+    # the operator's default (smallest-8 partners per doc, dropped-ref
+    # accounting via observe; tests/test_spark_operators.py pins the
+    # bounded-row behavior under a 10^3-doc shared block).
+    out = suffix_ops.remove_duplicate_blocks(docs, max_refs_per_doc=None)
     return out.select(
         "doc_id",
         F.col("n_removed").cast("long").alias("n_removed"),

@@ -7,7 +7,7 @@ Arrow batches; keeping them importable without pyspark lets the same
 code be unit-tested scalar-style and shipped via --py-files.
 """
 
-from .check import check_url
+from .check import check_scrubbed_url, check_url, make_check_caches
 from .parts import (
     canonical_dedup_key,
     extract_domain,
@@ -53,7 +53,9 @@ __all__ = [
     "LANG_PARAMS",
     "basic_filter",
     "canonical_dedup_key",
+    "check_scrubbed_url",
     "check_url",
+    "make_check_caches",
     "clean_query_string",
     "clean_url",
     "decode_punycode",

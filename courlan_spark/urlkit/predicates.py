@@ -10,8 +10,9 @@ apply them over Arrow batches.
 from __future__ import annotations
 
 from ipaddress import ip_address
-from urllib.parse import SplitResult, urlsplit
+from urllib.parse import SplitResult
 
+from .fastsplit import fast_urlsplit as urlsplit
 from .locales import score_language_segment
 from .patterns import (
     IP_CHARS,

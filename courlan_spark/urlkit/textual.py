@@ -10,16 +10,16 @@ functions (see tests/test_parity_normalize.py).
 
 from __future__ import annotations
 
+import re
 from html import unescape
 from urllib.parse import (
     SplitResult,
     parse_qs,
     quote,
     urlencode,
-    urlsplit,
-    urlunsplit,
 )
 
+from .fastsplit import fast_urlsplit as urlsplit
 from .patterns import (
     ALLOWED_PARAMS,
     CONTROL_CHARS,
@@ -131,9 +131,17 @@ def decode_punycode(string: str) -> str:
     return ".".join(decoded)
 
 
+# chars quote() leaves untouched under safe="/%!=:,-": the always-safe
+# set (alnum _.-~) plus the safe argument — a part of only these chars
+# round-trips unchanged, so the hot path skips the quote() call
+_RX_NEEDS_QUOTE = re.compile(r"[^A-Za-z0-9_.~/%!=:,-]")
+
+
 def normalize_part(url_part: str) -> str:
     """Percent-quote a path or fragment, keeping URL-significant
     characters.  Parity: /root/reference/courlan/clean.py:148-151."""
+    if not url_part or _RX_NEEDS_QUOTE.search(url_part) is None:
+        return url_part
     return quote(url_part, safe="/%!=:,-")
 
 
@@ -148,20 +156,8 @@ def normalize_fragment(fragment: str, language: str | None = None) -> str:
     return normalize_part(fragment)
 
 
-def normalize_url(
-    parsed_url: SplitResult | str,
-    strict: bool = False,
-    language: str | None = None,
-    trailing_slash: bool = True,
-) -> str:
-    """Canonicalize a URL: lowercase scheme and host, decode punycode,
-    strip the scheme's default port, collapse path slashes, drop
-    leading /.. segments, percent-quote path and fragment, clean the
-    query, and rebuild.  Parity: /root/reference/courlan/clean.py:164-195.
-    Raises ValueError for wrong-language query parameters."""
-    parsed_url = parse_maybe(parsed_url)
-
-    scheme = parsed_url.scheme.lower()
+def _canonical_netloc(parsed_url: SplitResult, scheme: str) -> str:
+    "Lowercased, punycode-decoded netloc with the default port stripped."
     netloc = decode_punycode(parsed_url.netloc.lower())
     try:
         port = parsed_url.port
@@ -170,11 +166,63 @@ def normalize_url(
     if (scheme == "http" and port == 80) or (scheme == "https" and port == 443):
         # rsplit keeps IPv6 literals intact
         netloc = netloc.rsplit(":", 1)[0]
+    return netloc
+
+
+# distinct sentinels for the query-cleaning cache: a cached ValueError
+# (wrong-language query) must re-raise on every hit
+_UNSET = object()
+_REJECT = object()
+
+
+def normalize_url(
+    parsed_url: SplitResult | str,
+    strict: bool = False,
+    language: str | None = None,
+    trailing_slash: bool = True,
+    caches: dict | None = None,
+) -> str:
+    """Canonicalize a URL: lowercase scheme and host, decode punycode,
+    strip the scheme's default port, collapse path slashes, drop
+    leading /.. segments, percent-quote path and fragment, clean the
+    query, and rebuild.  Parity: /root/reference/courlan/clean.py:164-195.
+    Raises ValueError for wrong-language query parameters.
+
+    ``caches`` (optional, from ``urlkit.check.make_check_caches``) memoizes
+    the netloc canonicalization and query cleaning per batch — semantically
+    transparent because both are pure in their cache keys; the Spark UDF
+    layer passes per-Arrow-batch caches (hosts and tracker query strings
+    repeat heavily in crawl data), scalar callers pass None."""
+    parsed_url = parse_maybe(parsed_url)
+
+    scheme = parsed_url.scheme.lower()
+    if caches is None:
+        netloc = _canonical_netloc(parsed_url, scheme)
+    else:
+        nkey = (scheme, parsed_url.netloc)
+        netloc = caches["netloc"].get(nkey)
+        if netloc is None:
+            netloc = _canonical_netloc(parsed_url, scheme)
+            caches["netloc"][nkey] = netloc
 
     newpath = normalize_part(
         RX_PATH_DOTDOT.sub("", RX_PATH_SLASHES.sub("/", parsed_url.path))
     )
-    newquery = clean_query_string(parsed_url.query, strict, language)
+    query = parsed_url.query
+    if caches is None or not query:
+        newquery = clean_query_string(query, strict, language)
+    else:
+        qcache = caches["query"]
+        newquery = qcache.get(query, _UNSET)
+        if newquery is _UNSET:
+            try:
+                newquery = clean_query_string(query, strict, language)
+            except ValueError:
+                qcache[query] = _REJECT
+                raise
+            qcache[query] = newquery
+        elif newquery is _REJECT:
+            raise ValueError
     if newquery and not newpath:
         newpath = "/"
     elif not trailing_slash and not newquery and newpath.endswith("/"):
@@ -182,7 +230,20 @@ def normalize_url(
 
     newfragment = "" if strict else normalize_fragment(parsed_url.fragment, language)
 
-    return urlunsplit((scheme, netloc, newpath, newquery, newfragment))
+    # inlined urllib.parse.urlunsplit (identical branch structure,
+    # minus the argument-coercion overhead)
+    url = newpath
+    if netloc or (url and url[:2] == "//"):
+        if url and url[:1] != "/":
+            url = "/" + url
+        url = "//" + netloc + url
+    if scheme:
+        url = scheme + ":" + url
+    if newquery:
+        url = url + "?" + newquery
+    if newfragment:
+        url = url + "#" + newfragment
+    return url
 
 
 def clean_url(url: str, language: str | None = None) -> str | None:

@@ -360,6 +360,46 @@ def test_remove_duplicate_blocks_operator(spark):
     assert out[3]["text"] == "" and out[3]["n_removed"] == len(block)
 
 
+def test_remove_duplicate_blocks_bounds_refs_under_hub_block(spark):
+    """One boilerplate block shared by 10^3 docs: every doc's _refs
+    payload stays capped at max_refs_per_doc (row size bounded — the
+    round-3 OOM fix), the strip result is unchanged (any single
+    partner carries the shared block), and the dropped-ref accounting
+    fires with exact counts."""
+    from pyspark.sql import Observation
+
+    from courlan_spark.operators.suffix import remove_duplicate_blocks
+
+    block = (
+        "this is one very long boilerplate navigation footer that sites "
+        "repeat verbatim on every single page they serve"
+    )
+    n = 1000
+    rows = [(i, f"unique lead {i} words. " + block) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    obs = Observation("ref_caps")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_blocks(
+            docs, max_refs_per_doc=4, observation=obs
+        ).collect()
+    }
+    assert out[0]["n_removed"] == 0  # earliest copy keeps its text
+    for i in (1, 17, n - 1):
+        assert block not in out[i]["text"]
+        # the shared span widens over the common " words. " run-in, so
+        # only the genuinely unique prefix survives
+        assert out[i]["text"].startswith(f"unique lead {i}")
+    metrics = obs.get
+    # doc i has i earlier partners; kept = min(i, 4)
+    expected_kept = sum(min(i, 4) for i in range(n))
+    expected_total = n * (n - 1) // 2
+    assert metrics["refs_kept"] == expected_kept
+    assert metrics["refs_dropped"] == expected_total - expected_kept
+    assert metrics["docs_with_dropped_refs"] == n - 5  # docs with >4 partners
+
+
 def test_scalar_sample_matches_spark_operator(spark):
     "urlkit.sample_urls and sample_per_domain share the md5 rank: identical picks."
     from courlan_spark.operators.frontier import exact_path_dedup, ingest_urls
