@@ -34,8 +34,20 @@ def with_input_ordinal(df: DataFrame, col: str = "_ordinal") -> DataFrame:
 
     Not meaningful after a shuffle (repartition/join reorder rows);
     arrival order is undefined there — pass an explicit order column
-    to ingest_urls instead."""
-    tagged = df.withColumn("_pid", F.spark_partition_id())
+    to ingest_urls instead.
+
+    Determinism (round-3 ADVICE fix): the (_pid, _mid) tags are
+    MATERIALIZED once via an eager localCheckpoint before anything
+    reads them, so the size map and the ordinals come from one
+    evaluation — an uncached recompute with different splits can no
+    longer mis-number seq — and the window sorts a stored column, not
+    a re-evaluated monotonically_increasing_id under the exchange
+    (per-map-block fetch order is not an API guarantee)."""
+    tagged = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
     sizes = {
         row["_pid"]: row["cnt"]
         for row in tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -46,10 +58,10 @@ def with_input_ordinal(df: DataFrame, col: str = "_ordinal") -> DataFrame:
         offsets[pid] = acc
         acc += sizes[pid]
     omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    w = Window.partitionBy("_pid").orderBy("_mid")
     return tagged.withColumn(
         col, (omap[F.col("_pid")] + F.row_number().over(w) - 1).cast("long")
-    ).drop("_pid")
+    ).drop("_pid", "_mid")
 
 
 def ingest_urls(

@@ -105,7 +105,15 @@ def robots_tables(robots: DataFrame) -> tuple[DataFrame, DataFrame]:
         schema="host string, rules array<struct<prefix:string,allow:boolean>>, "
         "crawl_delay double",
     )
-    rules = parsed.where(F.size("rules") > 0).select("host", "rules")
+    # one parse per host on BOTH tables: duplicate host rows in the
+    # input (re-fetches of the same robots.txt) would otherwise fan
+    # out every link row per duplicate in crawlable_links' host
+    # equi-join, inflating downstream link counts (round-3 ADVICE fix)
+    rules = (
+        parsed.where(F.size("rules") > 0)
+        .select("host", "rules")
+        .dropDuplicates(["host"])
+    )
     delays = (
         parsed.where("crawl_delay IS NOT NULL")
         .select("host", "crawl_delay")

@@ -12,6 +12,8 @@ drift in the UDF layer breaks the comparison.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -154,6 +156,28 @@ FROM documents
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     for name in names:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def _table_rows_from_metadata(sf_dir: str, name: str) -> int | None:
+    """Row count from parquet FOOTERS (no Spark job, no data scan) —
+    the parquet-backend analog of reading an Iceberg snapshot's
+    record count.  None when the metadata is unreadable (caller falls
+    back to count())."""
+    try:
+        import pyarrow.parquet as pq
+
+        target = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(target):
+            files = [
+                os.path.join(target, f)
+                for f in os.listdir(target)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [target]
+        return sum(pq.read_metadata(f).num_rows for f in files)
+    except Exception:  # noqa: BLE001 — metadata is an optimization only
+        return None
 
 
 def _frontier_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,8 +575,12 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it candidate volume per vector) stays roughly constant: at the
     # oracle scale (500 vectors) this resolves to the exhaustively
     # verified planes=4 x tables=48; larger corpora get deeper, fewer
-    # tables (rows-only there — the driver's oracle runs at sf0.01)
-    n = emb.count()
+    # tables (rows-only there — the driver's oracle runs at sf0.01).
+    # The size comes from parquet footer metadata (Iceberg-snapshot
+    # analog) — not a count() action per invocation (round-3 fix).
+    n = _table_rows_from_metadata(sf_dir, "embeddings")
+    if n is None:
+        n = emb.count()
     planes = max(4, math.ceil(math.log2(max(n, 64) / 32)))
     tables = 48 if n <= 600 else 16
     return similarity.embedding_neardup_pairs(

@@ -83,3 +83,23 @@ def has_snapshot(target: str) -> bool:
     if TABLE_FORMAT == "iceberg":
         return True  # existence is the catalog's concern
     return os.path.exists(os.path.join(target, "_SUCCESS"))
+
+
+def table_exists(spark: SparkSession, target: str) -> bool:
+    """True when the table holds committed data.  On the iceberg
+    backend this asks the catalog; on the parquet backend it asks the
+    HADOOP FILESYSTEM layer (not os.path — the target may live on an
+    object store: s3a://, gs://, hdfs:// all resolve through the same
+    API), looking for a _SUCCESS marker or any parquet part file."""
+    if TABLE_FORMAT == "iceberg":
+        return spark.catalog.tableExists(target)
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(target)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name == "_SUCCESS" or name.endswith(".parquet"):
+            return True
+    return False

@@ -12,12 +12,11 @@ maps 1:1 onto an Iceberg MERGE on a real cluster.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.url_udfs import host_path_udf, make_check_url_udf
+from ..sources import tables
 
 
 def checked_url_stream(
@@ -78,17 +77,19 @@ def start_frontier_ingest(
             "seq",
             F.monotonically_increasing_id() + F.lit(batch_id) * F.lit(1 << 50),
         )
-        if os.path.exists(os.path.join(frontier_dir, "_SUCCESS")) or any(
-            name.endswith(".parquet")
-            for name in (os.listdir(frontier_dir) if os.path.isdir(frontier_dir) else [])
-        ):
-            existing = batch_df.sparkSession.read.parquet(frontier_dir)
+        # existence check through the tables seam (round-3 fix): the
+        # frontier may live on an object store where os.path is blind;
+        # the seam asks the Hadoop FS (or the Iceberg catalog)
+        session = batch_df.sparkSession
+        if tables.table_exists(session, frontier_dir):
+            existing = tables.read_snapshot(session, frontier_dir)
             fresh = fresh.join(
                 existing.select("host", "path"), ["host", "path"], "left_anti"
             )
-        fresh.select("host", "path", "visited", "seq", "priority").write.mode(
-            "append"
-        ).parquet(frontier_dir)
+        tables.append_rows(
+            fresh.select("host", "path", "visited", "seq", "priority"),
+            frontier_dir,
+        )
 
     writer = (
         checked.writeStream.foreachBatch(merge_batch)

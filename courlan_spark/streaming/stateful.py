@@ -147,7 +147,20 @@ def start_streaming_neardup(
 
     Returns the StreamingQuery.  Cross-batch pairs work because the
     bucket state carries earlier members: a doc arriving in batch N
-    pairs against docs from batches < N without re-reading them."""
+    pairs against docs from batches < N without re-reading them.
+
+    Sink idempotence (round-3 ADVICE fix): each micro-batch OVERWRITES
+    its own ``batch_id=<id>`` partition directory under ``out_path``,
+    so a foreachBatch retry (same batch_id) replaces rather than
+    appends — the previous plain append would double-write on retries.
+    Source RE-deliveries are a different case: a doc re-sent in a
+    LATER batch re-emits its pairs when its bucket was already full
+    (full buckets stop persisting new member ids, by design — bounded
+    state), landing in a different batch directory.  Consumers must
+    therefore dedup (doc_a, doc_b) across batches —
+    :func:`read_verified_pairs` does exactly that."""
+    import os
+
     from ..operators import dedup
 
     candidates = streaming_minhash_candidates(
@@ -160,7 +173,9 @@ def start_streaming_neardup(
         verified = dedup.verify_pairs_jaccard(
             pairs, docs, id_col=id_col, text_col=text_col, threshold=threshold
         )
-        verified.write.mode("append").parquet(out_path)
+        verified.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
 
     writer = candidates.writeStream.foreachBatch(verify_batch).option(
         "checkpointLocation", checkpoint_path
@@ -168,6 +183,18 @@ def start_streaming_neardup(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_verified_pairs(spark, out_path: str) -> DataFrame:
+    """Read the streaming near-dup sink: distinct verified (doc_a,
+    doc_b, jaccard) across all batch directories.  The per-pair dedup
+    absorbs source re-deliveries of full-bucket docs (see
+    start_streaming_neardup)."""
+    return (
+        spark.read.parquet(out_path)
+        .select("doc_a", "doc_b", "jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
 
 
 _DEDUP_STATE_SCHEMA = "emitted boolean"

@@ -107,6 +107,31 @@ def test_robots_tables_and_link_filtering(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_robots_refetch_duplicates_do_not_fan_out_links(spark):
+    """Duplicate host rows in the robots input (re-fetches of the same
+    robots.txt) must not multiply link rows through the host equi-join
+    (round-3 ADVICE fix: rules side dedups per host like delays)."""
+    from courlan_spark.operators.links import crawlable_links
+
+    robots = spark.createDataFrame(
+        [("https://example.org", ROBOTS_BODY)] * 3
+        + [("https://example.org", ROBOTS_BODY + "\nCrawl-delay: 4\n")],
+        "host string, body string",
+    )
+    rules, delays = robots_tables(robots)
+    assert rules.count() == 1
+    assert delays.count() == 1
+    links = spark.createDataFrame(
+        [("https://example.org/public/page",), ("https://other.org/x",)],
+        "link string",
+    )
+    filtered = crawlable_links(links, robots_rules=rules)
+    assert [r["link"] for r in filtered.orderBy("link").collect()] == [
+        "https://example.org/public/page",
+        "https://other.org/x",
+    ]
+
+
 def test_html_to_text():
     html = (
         "<html><head><style>p{color:red}</style><script>var x=1;</script></head>"

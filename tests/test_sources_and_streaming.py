@@ -388,10 +388,18 @@ def test_streaming_neardup_pipeline_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
 
+    from courlan_spark.streaming.stateful import read_verified_pairs
+
     got = {
         (r["doc_a"], r["doc_b"])
-        for r in spark.read.parquet(out).select("doc_a", "doc_b").collect()
+        for r in read_verified_pairs(spark, out).collect()
     }
+    # sink layout is per-batch-id directories (idempotent on retry:
+    # a re-run of a batch OVERWRITES its own directory)
+    import os
+
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert len(batch_dirs) >= 2  # one per micro-batch that verified
     # batch oracle: same corpus through the batch LSH + verify path
     docs = spark.createDataFrame(all_rows, schema)
     sigs = dedup.minhash_signatures(docs)
