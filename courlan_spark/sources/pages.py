@@ -217,6 +217,40 @@ def pages_view(full):
     return full.select("url", "warc_ts", "html", "text", "lang")
 
 
+# one long boilerplate block (>= 2x the 63-char substring threshold)
+# for the hub-skew stress corpus
+BOILERPLATE_BLOCK = (
+    "subscribe to our newsletter for weekly updates and exclusive offers "
+    "follow us on social media accept all cookies to continue browsing "
+    "this site uses tracking technologies as described in our privacy "
+    "policy and terms of service all rights reserved copyright notice"
+)
+
+
+def skew_overlay(full, hub_mod: int = 10, boiler_mod: int = 5):
+    """Hub-skew STRESS variant of the synthetic corpus (round-3 judge
+    item): every ``hub_mod``-th doc moves onto ONE mega host (~10% of
+    rows on a single host at the default) and every ``boiler_mod``-th
+    doc's text becomes the shared boilerplate block plus a tiny unique
+    suffix (~20% of docs near-identical -> one flooded LSH bucket).
+    Deterministic in doc_id, so both parallelism levels and reruns see
+    the identical corpus."""
+    from pyspark.sql import functions as F
+
+    hub = F.concat(
+        F.lit("https://mega-hub.example.com/p/"), F.col("doc_id").cast("string")
+    )
+    boiler = F.concat(
+        F.lit(BOILERPLATE_BLOCK + " item "), F.col("doc_id").cast("string")
+    )
+    return full.withColumn(
+        "url", F.when(F.col("doc_id") % hub_mod == 0, hub).otherwise(F.col("url"))
+    ).withColumn(
+        "text",
+        F.when(F.col("doc_id") % boiler_mod == 0, boiler).otherwise(F.col("text")),
+    )
+
+
 def truth_view(full):
     "Planted duplicate-cluster ground truth (FIXTURES.md §4)."
     return full.select("doc_id", "url", "cluster_id", "dup_kind")

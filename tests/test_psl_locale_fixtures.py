@@ -51,6 +51,26 @@ PSL_CASES = [
     ("https://com/", None),
     # unknown TLD
     ("https://example.notatld/", None),
+    # wildcard rules (`*.<parent>` in the upstream PSL): every direct
+    # child of the parent is itself a public suffix (round-3 addition
+    # — these cases FAILED against the pre-wildcard whitelist)
+    ("https://ab.cd.ck/", ("ab", "ab.cd.ck")),  # *.ck
+    ("https://cd.ck/", None),  # a direct child IS the suffix
+    ("https://ab.org.bd/", ("ab", "ab.org.bd")),  # *.bd
+    ("https://org.bd/", None),
+    ("https://ab.com.np/", ("ab", "ab.com.np")),  # *.np
+    ("https://ab.gov.mm/", ("ab", "ab.gov.mm")),  # *.mm
+    ("https://ab.com.pg/", ("ab", "ab.com.pg")),  # *.pg
+    ("https://my.sch.uk/", None),  # *.sch.uk: child is a suffix
+    ("https://ab.my.sch.uk/", ("ab", "ab.my.sch.uk")),
+    # exception rules (`!<host>`): registrable despite the wildcard
+    ("https://www.ck/", ("www", "www.ck")),  # !www.ck
+    ("https://sub.www.ck/", ("www", "www.ck")),
+    # JP city wildcards + their !city exceptions
+    ("https://ab.cd.kawasaki.jp/", ("ab", "ab.cd.kawasaki.jp")),
+    ("https://cd.kawasaki.jp/", None),
+    ("https://city.kawasaki.jp/", ("city", "city.kawasaki.jp")),
+    ("https://sub.city.kobe.jp/", ("city", "city.kobe.jp")),
 ]
 
 
