@@ -130,6 +130,40 @@ FROM documents
 WHERE {_bank_case('norm')} IS NOT NULL
 """
 
+# strict mode rejects two more templates: #5 (video.mp4 — FILE_TYPE
+# applies under strict) and #9 (/login — NOT_CRAWLABLE path_filter runs
+# under strict).  Pinned against the scalar layer in
+# tests/test_catalog_oracles.py::test_urlbank_expectations.
+_STRICT_REJECTED = {5, 9}
+
+
+def _strict_case(column: str) -> str:
+    "Like _bank_case/_bank_domain_case but with strict rejections NULLed."
+    arms = []
+    for k, entry in enumerate(URL_BANK):
+        if k in _STRICT_REJECTED:
+            arms.append(f"WHEN {k} THEN NULL")
+            continue
+        if column == "norm":
+            frag = entry[1]
+            value = (
+                frag.replace("{ID}", "cast(doc_id as string)") if frag else "NULL"
+            )
+        else:
+            value = f"'{entry[2]}'" if entry[2] else "NULL"
+        arms.append(f"WHEN {k} THEN {value}")
+    return f"CASE doc_id % {len(URL_BANK)} " + " ".join(arms) + " END"
+
+
+URLBANK_STRICT_ORACLE = f"""
+SELECT doc_id,
+       {_bank_case('raw')} AS url,
+       {_strict_case('norm')} AS norm_url,
+       {_strict_case('domain')} AS domain
+FROM documents
+WHERE {_strict_case('norm')} IS NOT NULL
+"""
+
 # synthetic HTML bank for link extraction (1 surviving internal link/page)
 HTML_PAGE_SQL = """
 SELECT doc_id,
@@ -205,6 +239,63 @@ def q_check_url_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_c.domain").alias("domain"),
         )
     )
+
+
+def q_check_url_bank_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """check_url in STRICT mode over the same bank: media extensions
+    (FILE_TYPE) and non-crawlable paths (path_filter) reject two more
+    templates, and the strict query-param allowlist applies."""
+    _views(spark, sf_dir, "documents")
+    urls = spark.sql(URLBANK_SQL)
+    check_udf = make_check_url_udf(strict=True)
+    return (
+        urls.withColumn("_c", check_udf("url"))
+        .where(F.col("_c.norm_url").isNotNull())
+        .select(
+            "doc_id",
+            "url",
+            F.col("_c.norm_url").alias("norm_url"),
+            F.col("_c.domain").alias("domain"),
+        )
+    )
+
+
+def q_robots_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt first-match verdict over a link stream: hosts k%3==0
+    carry the ordered rule list [Allow /order/12*, Disallow /order/1*]
+    (the stdlib RobotFileParser precedence exercised on the Allow
+    carve-out), other hosts have no rules.  Spark evaluates it as the
+    broadcast host equi-join + native array verdict of
+    crawlable_links; the oracle replicates the verdict declaratively."""
+    from ..operators.links import crawlable_links
+
+    _views(spark, sf_dir, "customer")
+    links = spark.sql(PROBE_SQL).withColumnRenamed("url", "link")
+    rules = spark.sql(
+        """
+        SELECT concat('https://host', cast(id as string), '.example.com') AS host,
+               array(named_struct('prefix', '/order/12', 'allow', true),
+                     named_struct('prefix', '/order/1', 'allow', false)) AS rules
+        FROM range(0, 97) WHERE id % 3 = 0
+        """
+    )
+    out = crawlable_links(links, robots_rules=rules)
+    return out.select(
+        F.col("link").alias("url"), F.col("priority").cast("long").alias("priority")
+    )
+
+
+_ROBOTS_FILTERING_ORACLE = """
+WITH links AS (
+  SELECT concat('https://host', cast(c_custkey % 97 as string),
+                '.example.com/order/', cast((c_custkey * 11) % 30000 as string)) AS url,
+         c_custkey % 97 AS k,
+         concat('/order/', cast((c_custkey * 11) % 30000 as string)) AS path
+  FROM customer)
+SELECT url, cast(0 as bigint) AS priority
+FROM links
+WHERE NOT (k % 3 = 0 AND path LIKE '/order/1%' AND path NOT LIKE '/order/12%')
+"""
 
 
 def q_url_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,6 +391,23 @@ def q_exact_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     return docs.groupBy(F.md5("text").alias("text_hash")).agg(
         F.min("doc_id").alias("keeper_id"), F.count("*").cast("long").alias("n_copies")
+    )
+
+
+def q_exact_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SALTED two-phase exact_dedup operator against the plain
+    group-by oracle: identical output proves the (key, salt) pre-
+    aggregation preserves min/count semantics end-to-end (plan shape —
+    two exchanges — is asserted in tests/test_skew_stress.py)."""
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    out = dedup.exact_dedup(docs, ["text_hash"], ["doc_id"], salt_partitions=16)
+    return out.select(
+        "text_hash",
+        F.col("doc_id").alias("keeper_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
     )
 
 
@@ -594,6 +702,8 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES: dict[str, str] = {
     "q_check_url_bank": URLBANK_ORACLE,
+    "q_check_url_bank_strict": URLBANK_STRICT_ORACLE,
+    "q_robots_filtering": _ROBOTS_FILTERING_ORACLE,
     "q_url_split_counts": f"""
         SELECT CASE WHEN {_bank_case('norm')} IS NULL THEN 'discarded'
                     ELSE 'valid' END AS bucket,
@@ -657,6 +767,11 @@ ORACLES: dict[str, str] = {
         FROM sized WHERE n BETWEEN 120 AND 100000 AND pick <= 3
     """,
     "q_exact_text_dedup": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+               cast(count(*) as bigint) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "q_exact_dedup_salted": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
                cast(count(*) as bigint) AS n_copies
         FROM documents GROUP BY md5(text)
@@ -1006,6 +1121,8 @@ ORACLES["q_langid_stopwords"] = _langid_oracle()
 
 QUERIES = {
     "q_check_url_bank": q_check_url_bank,
+    "q_check_url_bank_strict": q_check_url_bank_strict,
+    "q_robots_filtering": q_robots_filtering,
     "q_url_split_counts": q_url_split_counts,
     "q_url_canonical_dedup": q_url_canonical_dedup,
     "q_extract_links": q_extract_links,
@@ -1016,6 +1133,7 @@ QUERIES = {
     "q_filter_unvisited_urls": q_filter_unvisited_urls,
     "q_domain_sample": q_domain_sample,
     "q_exact_text_dedup": q_exact_text_dedup,
+    "q_exact_dedup_salted": q_exact_dedup_salted,
     "q_minhash_sql": q_minhash_sql,
     "q_simhash_sql": q_simhash_sql,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -37,7 +37,9 @@ def _render(fragment, doc_id):
 
 @pytest.mark.parametrize("doc_id", [0, 7, 123])
 def test_urlbank_expectations(doc_id):
-    for raw_frag, norm_frag, domain in URL_BANK:
+    from courlan_spark.plans.catalog import _STRICT_REJECTED
+
+    for k, (raw_frag, norm_frag, domain) in enumerate(URL_BANK):
         raw = _render(raw_frag, doc_id)
         expected = _render(norm_frag, doc_id)
         result = check_url(raw, strict=False)
@@ -47,6 +49,12 @@ def test_urlbank_expectations(doc_id):
             assert result is not None, f"{raw} unexpectedly rejected"
             assert result[0] == expected
             assert result[1] == domain
+        # strict mode: same expectations except the strict-rejected set
+        strict_result = check_url(raw, strict=True)
+        if expected is None or k in _STRICT_REJECTED:
+            assert strict_result is None, f"{raw} accepted under strict"
+        else:
+            assert strict_result == (expected, domain)
 
 
 @pytest.fixture(scope="module")
