@@ -183,6 +183,7 @@ def make_buffer_url_udf(
 
     @pandas_udf(StringType())
     def buffer_udf(urls: pd.Series) -> pd.Series:
+        caches = make_check_caches()  # per-batch pure-stage memos
         out: list[str | None] = []
         for url in urls:
             if not isinstance(url, str):
@@ -198,7 +199,9 @@ def make_buffer_url_udf(
                 ):
                     out.append(None)
                     continue
-                out.append(normalize_url(parsed, strict, language, trailing_slash))
+                out.append(
+                    normalize_url(parsed, strict, language, trailing_slash, caches)
+                )
             except (TypeError, ValueError):
                 out.append(None)
         return pd.Series(out)

@@ -602,6 +602,10 @@ def q_suffix_array_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a >= 63-char block, with block_len = min(LCS, 64) — a set
     independent of row order, hence oracle-comparable."""
     _views(spark, sf_dir, "documents")
+    # coalesce(1) is the ORACLE harness, deliberately serial: the
+    # run-complete suffix-array pass is only set-deterministic on a
+    # single partition.  Do NOT benchmark this query as the scale
+    # path — that is q_substring_pairs (winnowing-bucketed, parallel).
     docs = spark.table("documents").coalesce(1)
     return suffix_ops.partition_suffix_array_pass(docs, min_length=63).select(
         "doc_a", "doc_b", F.col("block_len").cast("long").alias("block_len")
