@@ -99,24 +99,32 @@ def check_url_batch(
         # and the tail all operate on the scrubbed form.  Most crawl
         # URLs are scrub-identical — prove it vectorized and call the
         # per-row repair only on the dirty residue.
-        dirty = (
-            sv.str.contains(_RX_SCRUB_DIRTY, regex=True)
-            | (sv.str.count("/").eq(3) & sv.str.endswith("/"))
-        )
-        scrubbed = sv.copy()
-        if dirty.any():
-            scrubbed[dirty] = sv[dirty].map(scrub_url)
-        # type_filter, vectorized (urlkit/predicates.py:108): same
-        # boolean structure, .str.contains == re.search per element
-        reject = scrubbed.str.endswith(("/feed", "/rss", "_archive.html"))
-        site = scrubbed.str.contains(RX_SITE_STRUCTURE, regex=True)
-        if with_nav:
-            site &= ~scrubbed.str.contains(RX_NAVIGATION, regex=True)
-        reject |= site
-        if strict:
-            reject |= scrubbed.str.contains(
-                RX_FILE_TYPE, regex=True
-            ) | scrubbed.str.contains(RX_ADULT_VIDEO, regex=True)
+        import warnings
+
+        with warnings.catch_warnings():
+            # pandas warns that patterns with match groups "could" be
+            # used with str.extract — we only want the boolean search
+            warnings.filterwarnings(
+                "ignore", message="This pattern is interpreted"
+            )
+            dirty = (
+                sv.str.contains(_RX_SCRUB_DIRTY, regex=True)
+                | (sv.str.count("/").eq(3) & sv.str.endswith("/"))
+            )
+            scrubbed = sv.copy()
+            if dirty.any():
+                scrubbed[dirty] = sv[dirty].map(scrub_url)
+            # type_filter, vectorized (urlkit/predicates.py:108): same
+            # boolean structure, .str.contains == re.search per element
+            reject = scrubbed.str.endswith(("/feed", "/rss", "_archive.html"))
+            site = scrubbed.str.contains(RX_SITE_STRUCTURE, regex=True)
+            if with_nav:
+                site &= ~scrubbed.str.contains(RX_NAVIGATION, regex=True)
+            reject |= site
+            if strict:
+                reject |= scrubbed.str.contains(
+                    RX_FILE_TYPE, regex=True
+                ) | scrubbed.str.contains(RX_ADULT_VIDEO, regex=True)
         survivors = scrubbed[~reject]
         # per-batch memo tables (hosts/queries repeat in crawl data;
         # all caches are pure in their keys — see make_check_caches)

@@ -86,3 +86,59 @@ def test_fingerprints_deterministic(text):
 @given(st.text(max_size=60), st.sets(st.text(max_size=60), max_size=5))
 def test_is_known_link_never_raises(link, known):
     assert is_known_link(link, known) in (True, False)
+
+
+@settings(max_examples=800, deadline=None)
+@given(urlish)
+def test_fast_urlsplit_equals_stdlib(url):
+    """The round-3 urlsplit fast path must be indistinguishable from
+    the stdlib on arbitrary input: same SplitResult when the stdlib
+    parses, same exception class when it raises."""
+    from urllib.parse import urlsplit as std_urlsplit
+
+    from courlan_spark.urlkit.fastsplit import fast_urlsplit
+
+    try:
+        expected = std_urlsplit(url)
+        raised = None
+    except ValueError as exc:
+        raised = exc
+    if raised is not None:
+        try:
+            fast_urlsplit(url)
+            raise AssertionError(f"stdlib raised but fast path parsed: {url!r}")
+        except ValueError:
+            return
+    got = fast_urlsplit(url)
+    assert tuple(got) == tuple(expected), url
+    assert got.scheme == expected.scheme
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(urlish, max_size=25),
+    st.sampled_from([None, "de", "en"]),
+    st.booleans(),
+    st.booleans(),
+)
+def test_batch_kernel_equals_scalar_on_arbitrary_input(
+    urls, language, strict, with_nav
+):
+    "check_url_batch == per-row check_url on hypothesis-generated junk."
+    import pandas as pd
+
+    from courlan_spark.functions.url_udfs import check_url_batch
+
+    series = pd.Series(urls, dtype=object)
+    got = check_url_batch(
+        series, strict=strict, language=language, with_nav=with_nav
+    )
+    for pos, url in enumerate(urls):
+        expected = check_url(
+            url, strict=strict, language=language, with_nav=with_nav
+        )
+        pair = (got["norm_url"].iloc[pos], got["domain"].iloc[pos])
+        if expected is None:
+            assert pair == (None, None), url
+        else:
+            assert pair == expected, url
