@@ -207,7 +207,13 @@ def simhash64(text: str, shingle_k: int = DEFAULT_SHINGLE_K) -> int:
     of the rolling shingle hashes, a (n, 64) bit expansion and a
     column sum — no per-token Python.  Returned as signed int64 for
     Spark LongType columns."""
-    features = shingle_hashes(text, shingle_k)
+    return simhash64_from_features(shingle_hashes(text, shingle_k))
+
+
+def simhash64_from_features(features: np.ndarray) -> int:
+    """SimHash from precomputed shingle features — shared with the
+    fused fingerprint pass, which computes the shingle hashes once for
+    MinHash and SimHash together."""
     if features.size == 0:
         return 0
     hashes = _splitmix64(features.astype(np.uint64))

@@ -1,0 +1,96 @@
+"""Fused fingerprint pass: MinHash + SimHash + winnowing in ONE scan.
+
+The batch dedup pipeline needs three text fingerprints per document
+(MinHash signature for LSH, SimHash for fuzzy bit-distance pairs,
+winnowing fingerprints for the substring stage).  Computing them in
+separate operators costs three Arrow transfers of the full text
+column, three text decodes, and three repartition exchanges — at
+100 TB that is three full scans of the corpus where one suffices.
+This operator ships the text across the JVM->Python boundary ONCE and
+runs all three numpy kernels on the same decoded buffer (MinHash and
+SimHash additionally share the same rolling shingle-hash features).
+
+Each kernel is byte-identical to its standalone operator (the fused
+column equals minhash_signatures / simhash_fingerprints /
+make_winnow_udf output — pinned by tests/test_fused_fingerprints.py),
+so the standalone oracle queries keep covering the fused path's math.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from .suffix import DEFAULT_KGRAM, DEFAULT_WINDOW, winnow_fingerprints
+
+FUSED_SCHEMA = (
+    "signature array<long>, simhash long, winnow array<long>"
+)
+
+
+def make_fused_fingerprint_udf(
+    num_perm: int = hashing.DEFAULT_NUM_PERM,
+    shingle_k: int = hashing.DEFAULT_SHINGLE_K,
+    seed: int = hashing.DEFAULT_SEED,
+    kgram: int = DEFAULT_KGRAM,
+    window: int = DEFAULT_WINDOW,
+):
+    "text -> struct(signature, simhash, winnow) in one kernel pass."
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(FUSED_SCHEMA)
+    def fused_udf(texts: pd.Series) -> pd.DataFrame:
+        sigs, simhashes, winnows = [], [], []
+        for text in texts:
+            # null semantics per standalone kernel: SimHash maps
+            # non-strings to 0 (make_simhash_udf), MinHash and winnow
+            # hash the empty string (make_minhash_udf/make_winnow_udf)
+            is_str = isinstance(text, str)
+            if not is_str:
+                text = ""
+            features = hashing.shingle_hashes(text, shingle_k)
+            sigs.append(
+                hashing.minhash_signature(
+                    features, num_perm=num_perm, seed=seed
+                ).tolist()
+            )
+            simhashes.append(
+                hashing.simhash64_from_features(features) if is_str else 0
+            )
+            winnows.append(winnow_fingerprints(text, kgram, window).tolist())
+        return pd.DataFrame(
+            {"signature": sigs, "simhash": simhashes, "winnow": winnows}
+        )
+
+    return fused_udf
+
+
+def fused_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = hashing.DEFAULT_NUM_PERM,
+    shingle_k: int = hashing.DEFAULT_SHINGLE_K,
+    seed: int = hashing.DEFAULT_SEED,
+    kgram: int = DEFAULT_KGRAM,
+    window: int = DEFAULT_WINDOW,
+) -> DataFrame:
+    """(doc_id, signature array<long>, simhash long, winnow array<long>)
+    — one Arrow pass over the text column.  Column-for-column equal to
+    the standalone minhash_signatures / simhash_fingerprints /
+    winnowing operators."""
+    udf = make_fused_fingerprint_udf(
+        num_perm=num_perm, shingle_k=shingle_k, seed=seed,
+        kgram=kgram, window=window,
+    )
+    source = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return source.select(
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("_fp")
+    ).select(
+        "doc_id",
+        F.col("_fp.signature").alias("signature"),
+        F.col("_fp.simhash").alias("simhash"),
+        F.col("_fp.winnow").alias("winnow"),
+    )

@@ -44,6 +44,10 @@ class DedupConfig:
     salt_partitions: int | None = None
     with_substring_stage: bool = True
     with_simhash_stage: bool = True
+    # one Arrow pass computing MinHash+SimHash+winnow together (the
+    # 100 TB default: one text scan instead of three); False falls back
+    # to the per-kernel operators (column-identical — test_fused_fingerprints)
+    fused_fingerprints: bool = True
     seed: int = 42
     # "all": every stage is a resumable parquet snapshot (durable runs,
     # the Iceberg-checkpoint analog).  "minimal": only multiply-consumed
@@ -182,16 +186,31 @@ class DedupPipeline:
 
         text_pairs = self._stage("03_exact_text_pairs", build_text_pairs, resume, kind="lazy")
 
-        # ---- stage 4: MinHash signatures + LSH + verify ----
-        def build_signatures():
-            return dedup.minhash_signatures(
+        # ---- stage 4: ALL text fingerprints in ONE scan ----
+        # MinHash + SimHash + winnowing share a single Arrow transfer
+        # and text decode (operators/fingerprints.py) — at corpus scale
+        # this is one pass over the text column instead of three.
+        def build_fingerprints():
+            if not cfg.fused_fingerprints:
+                return dedup.minhash_signatures(
+                    url_unique,
+                    num_perm=cfg.num_perm,
+                    shingle_k=cfg.shingle_k,
+                    seed=cfg.seed,
+                )
+            from ..operators.fingerprints import fused_fingerprints
+
+            return fused_fingerprints(
                 url_unique,
                 num_perm=cfg.num_perm,
                 shingle_k=cfg.shingle_k,
                 seed=cfg.seed,
             )
 
-        signatures = self._stage("04_signatures", build_signatures, resume, kind="persist")
+        fingerprints = self._stage(
+            "04_fingerprints", build_fingerprints, resume, kind="persist"
+        )
+        signatures = fingerprints.select("doc_id", "signature")
 
         def build_minhash_pairs():
             # dropped-bucket accounting rides observe() on the pass
@@ -218,10 +237,14 @@ class DedupPipeline:
         # re-run the whole verify DAG for that second consumer
         minhash_pairs = self._stage("05_minhash_pairs", build_minhash_pairs, resume, kind="persist")
 
-        # ---- stage 5: SimHash fuzzy pairs ----
+        # ---- stage 5: SimHash fuzzy pairs (fingerprints from stage 4) ----
         if cfg.with_simhash_stage:
             def build_simhash_pairs():
-                fps = dedup.simhash_fingerprints(url_unique)
+                fps = (
+                    fingerprints.select("doc_id", "simhash")
+                    if cfg.fused_fingerprints
+                    else dedup.simhash_fingerprints(url_unique)
+                )
                 return dedup.simhash_candidate_pairs(
                     fps,
                     max_hamming=cfg.simhash_max_hamming,
@@ -238,6 +261,11 @@ class DedupPipeline:
                 cands = suffix.substring_candidate_pairs(
                     url_unique,
                     max_bucket_size=cfg.max_bucket_size,
+                    winnow=(
+                        fingerprints.select("doc_id", "winnow")
+                        if cfg.fused_fingerprints
+                        else None
+                    ),
                 )
                 # evidence is a union: a pair the MinHash path already
                 # verified needs no second (expensive LCS) verification

@@ -97,7 +97,7 @@ def test_partial_resume_after_failure(spark):
             for m in summary["stages"]
             if m.get("resumed") is False
         }
-        assert "01_canonical" in resumed and "04_signatures" in resumed
+        assert "01_canonical" in resumed and "04_fingerprints" in resumed
         assert "05_minhash_pairs" in rebuilt and "08_clusters" in rebuilt
         after = sorted(
             (r["doc_id"], r["cluster_id"]) for r in pipe2.assignments().collect()
