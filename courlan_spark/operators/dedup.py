@@ -253,6 +253,17 @@ def attach_pair_payloads(
     )
 
 
+def band_buckets(signatures: DataFrame, bands: int = hashing.DEFAULT_BANDS) -> DataFrame:
+    """(doc_id, band_key) LSH band bucket membership rows.  The single
+    definition of the band key — batch self-join, bucketed-layout, and
+    incremental new-vs-store paths all derive keys here, so two
+    signatures always meet in the same bucket regardless of path."""
+    band_udf = hashing.make_band_hash_udf(bands=bands)
+    return signatures.select(
+        "doc_id", F.explode(band_udf("signature")).alias("band_key")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = hashing.DEFAULT_BANDS,
@@ -266,10 +277,7 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` (hub boilerplate) that were excluded rather
     than silently exploding the join quadratically.
     """
-    band_udf = hashing.make_band_hash_udf(bands=bands)
-    buckets = signatures.select(
-        "doc_id", F.explode(band_udf("signature")).alias("band_key")
-    )
+    buckets = band_buckets(signatures, bands)
     pairs = bucket_pair_explode(
         buckets, "band_key", max_bucket_size, observation=observation
     ).distinct()
@@ -299,10 +307,7 @@ def lsh_candidate_pairs_bucketed(
     no Exchange under the join."""
     from ..sources.tables import replace_bucketed_table
 
-    band_udf = hashing.make_band_hash_udf(bands=bands)
-    buckets = signatures.select(
-        "doc_id", F.explode(band_udf("signature")).alias("band_key")
-    )
+    buckets = band_buckets(signatures, bands)
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band_key").agg(F.count("*").alias("sz"))
         buckets = buckets.join(
@@ -384,6 +389,37 @@ def simhash_fingerprints(
     )
 
 
+def simhash_block_keys(
+    fingerprints: DataFrame, max_hamming: int = 3, n_blocks: int = 6
+) -> DataFrame:
+    """(doc_id, simhash, block_key) — one row per Manku block-subset
+    key (C(n_blocks, n_blocks - max_hamming) keys per doc), all native
+    bit/hash expressions.  Shared by the batch self-join path and the
+    incremental new-vs-store path (operators/incremental.py), which
+    must derive IDENTICAL keys for both sides to meet in a bucket."""
+    from itertools import combinations
+
+    if n_blocks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming")
+    subset = n_blocks - max_hamming
+    width = 64 // n_blocks
+    block_cols = [
+        F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1) if i < n_blocks - 1 else F.lit((1 << (64 - i * width)) - 1)
+        )
+        for i in range(n_blocks)
+    ]
+    keys = [
+        F.xxhash64(F.lit(combo_id), *[block_cols[i] for i in combo])
+        for combo_id, combo in enumerate(combinations(range(n_blocks), subset))
+    ]
+    return fingerprints.select(
+        "doc_id",
+        F.col("simhash"),
+        F.explode(F.array(*keys)).alias("block_key"),
+    )
+
+
 def simhash_candidate_pairs(
     fingerprints: DataFrame,
     max_hamming: int = 3,
@@ -402,27 +438,7 @@ def simhash_candidate_pairs(
     the self-join does not go quadratic at web scale.  Pairs are
     confirmed with an exact popcount on the XOR (native bit ops).
     """
-    from itertools import combinations
-
-    if n_blocks <= max_hamming:
-        raise ValueError("n_blocks must exceed max_hamming")
-    subset = n_blocks - max_hamming
-    width = 64 // n_blocks
-    block_cols = [
-        F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
-            F.lit((1 << width) - 1) if i < n_blocks - 1 else F.lit((1 << (64 - i * width)) - 1)
-        )
-        for i in range(n_blocks)
-    ]
-    keys = [
-        F.xxhash64(F.lit(combo_id), *[block_cols[i] for i in combo])
-        for combo_id, combo in enumerate(combinations(range(n_blocks), subset))
-    ]
-    fp = fingerprints.select(
-        "doc_id",
-        F.col("simhash"),
-        F.explode(F.array(*keys)).alias("block_key"),
-    )
+    fp = simhash_block_keys(fingerprints, max_hamming, n_blocks)
     pairs = bucket_pair_explode(
         fp,
         "block_key",

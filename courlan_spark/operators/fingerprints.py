@@ -87,10 +87,17 @@ def fused_fingerprints(
     )
     source = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return source.select(
-        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("_fp")
+        F.col(id_col).alias("doc_id"),
+        udf(F.col(text_col)).alias("_fp"),
+        # exact-text key, JVM-side on the same scan: makes the persisted
+        # fingerprint frame a self-sufficient STORE for incremental runs
+        # (operators/incremental.py) — a later delta batch never has to
+        # re-read the old corpus's text column for exact-text dedup
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_hash"),
     ).select(
         "doc_id",
         F.col("_fp.signature").alias("signature"),
         F.col("_fp.simhash").alias("simhash"),
         F.col("_fp.winnow").alias("winnow"),
+        "text_hash",
     )

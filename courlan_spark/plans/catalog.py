@@ -624,6 +624,47 @@ def q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_assignments(docs, verified.select("doc_a", "doc_b"))
 
 
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (operators/incremental.py): the corpus is
+    split deterministically into a base batch (doc_id % 4 != 0) and a
+    delta batch; the base is clustered alone, then the delta joins the
+    base's signatures THROUGH the incremental path — bucket keys from
+    the shared band definition, only pairs touching a delta doc
+    generated, old clusters re-entering as membership edges.  The
+    merged table must equal one full run over everything, so the
+    oracle is exactly q_cluster_assignments' full-corpus recursive-CTE
+    min-label clustering."""
+    from ..operators import incremental as inc
+
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    base = docs.where(F.col("doc_id") % 4 != 0)
+    delta = docs.where(F.col("doc_id") % 4 == 0)
+
+    base_sigs = dedup.minhash_signatures(base)
+    base_pairs, _ = dedup.lsh_candidate_pairs(base_sigs)
+    base_verified = dedup.verify_pairs_jaccard(
+        base_pairs, base, signatures=base_sigs, threshold=0.5
+    )
+    base_assign = dedup.cluster_assignments(
+        base, base_verified.select("doc_a", "doc_b")
+    )
+
+    delta_sigs = dedup.minhash_signatures(delta)
+    cands = inc.incremental_minhash_pairs(delta_sigs, base_sigs)
+    verified = dedup.verify_pairs_jaccard(
+        cands,
+        inc.prune_to_pair_members(docs.select("doc_id", "text"), cands),
+        signatures=inc.prune_to_pair_members(
+            base_sigs.unionByName(delta_sigs), cands
+        ),
+        threshold=0.5,
+    )
+    return inc.merge_assignments(
+        base_assign, delta.select("doc_id"), verified.select("doc_a", "doc_b")
+    )
+
+
 def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim-block removal: every doc drops the characters covered
     by a >= 63-char block shared with any earlier doc (earliest copy
@@ -1085,6 +1126,7 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
 
 ORACLES["q_minhash_lsh_pairs"] = _minhash_lsh_pairs_oracle()
 ORACLES["q_cluster_assignments"] = _cluster_assignments_oracle()
+ORACLES["q_incremental_clusters"] = _cluster_assignments_oracle()
 ORACLES["q_simhash_fingerprints"] = _simhash_fingerprints_oracle()
 ORACLES["q_substring_pairs"] = _substring_pairs_oracle()
 ORACLES["q_suffix_array_pass"] = _suffix_array_pass_oracle()
@@ -1154,6 +1196,7 @@ QUERIES = {
     "q_suffix_array_pass": q_suffix_array_pass,
     "q_remove_boilerplate": q_remove_boilerplate,
     "q_cluster_assignments": q_cluster_assignments,
+    "q_incremental_clusters": q_incremental_clusters,
     "q_ann_topk_lsh": q_ann_topk_lsh,
     "q_ann_topk_ivf": q_ann_topk_ivf,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,

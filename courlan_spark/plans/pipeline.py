@@ -63,6 +63,63 @@ from ..sources.tables import read_snapshot as _read_snapshot
 from ..sources.tables import write_snapshot as _write_snapshot
 
 
+@dataclass
+class FingerprintStore:
+    """The persisted state an incremental (delta-batch) run joins
+    against: the base run's url-unique corpus, its fused fingerprint
+    frame, and its cluster table.  ``from_workdir`` loads the three
+    from a completed snapshot_mode="all" pipeline run with
+    fused_fingerprints=True — the store must come from the same
+    DedupConfig (num_perm/shingle_k/seed/bands) the incremental run
+    uses, or bucket keys will not line up."""
+
+    docs: DataFrame          # doc_id, norm_url, domain, warc_ts, text, lang
+    fingerprints: DataFrame  # doc_id, signature, simhash, winnow, text_hash
+    assignments: DataFrame   # doc_id, cluster_id
+
+    @classmethod
+    def from_workdir(cls, spark: SparkSession, workdir: str) -> "FingerprintStore":
+        def need(stage: str) -> DataFrame:
+            path = _snapshot_path(workdir, stage)
+            if not _has_snapshot(path):
+                raise FileNotFoundError(
+                    f"store stage {stage!r} missing under {workdir} — the "
+                    "base run must use snapshot_mode='all' and "
+                    "fused_fingerprints=True"
+                )
+            return _read_snapshot(spark, path)
+
+        fps = need("04_fingerprints")
+        if "text_hash" not in fps.columns or "winnow" not in fps.columns:
+            raise ValueError(
+                "04_fingerprints lacks fused columns (text_hash/winnow) — "
+                "the base run predates the fused store format; re-run it"
+            )
+        return cls(
+            docs=need("02_url_dedup"),
+            fingerprints=fps,
+            assignments=need("09_assignments").select("doc_id", "cluster_id"),
+        )
+
+    @classmethod
+    def from_workdirs(
+        cls, spark: SparkSession, *workdirs: str
+    ) -> "FingerprintStore":
+        """Chain stores across batches: the base run's workdir followed
+        by each incremental run's, oldest first.  Docs and fingerprints
+        are the union of every batch's (immutable, delta-scoped)
+        snapshots; assignments come from the LAST workdir — each
+        incremental run writes the fully merged cluster table."""
+        if not workdirs:
+            raise ValueError("at least one workdir required")
+        stores = [cls.from_workdir(spark, w) for w in workdirs]
+        docs, fps = stores[0].docs, stores[0].fingerprints
+        for s in stores[1:]:
+            docs = docs.unionByName(s.docs)
+            fps = fps.unionByName(s.fingerprints)
+        return cls(docs=docs, fingerprints=fps, assignments=stores[-1].assignments)
+
+
 def _snapshot_path(workdir: str, stage: str) -> str:
     return os.path.join(workdir, stage)
 
@@ -127,6 +184,23 @@ class DedupPipeline:
         self.metrics.append(metric)
         return out
 
+    def _canonical_frame(self, pages: DataFrame) -> DataFrame:
+        cfg = self.config
+        check_udf = make_check_url_udf(strict=cfg.strict, language=cfg.language)
+        return (
+            pages.withColumn("_chk", check_udf(F.col("url")))
+            .where(F.col("_chk.norm_url").isNotNull())
+            .select(
+                F.xxhash64("url", "warc_ts").alias("doc_id"),
+                F.col("url").alias("raw_url"),
+                F.col("_chk.norm_url").alias("norm_url"),
+                F.col("_chk.domain").alias("domain"),
+                "warc_ts",
+                "text",
+                "lang",
+            )
+        )
+
     def run(self, pages: DataFrame, resume: bool = False) -> dict:
         cfg = self.config
 
@@ -144,20 +218,7 @@ class DedupPipeline:
 
         # ---- stage 1: URL canonicalization (vectorized check_url) ----
         def build_canonical():
-            check_udf = make_check_url_udf(strict=cfg.strict, language=cfg.language)
-            return observed(
-                "canonical_rows",
-                pages.withColumn("_chk", check_udf(F.col("url")))
-                .where(F.col("_chk.norm_url").isNotNull()),
-            ).select(
-                F.xxhash64("url", "warc_ts").alias("doc_id"),
-                F.col("url").alias("raw_url"),
-                F.col("_chk.norm_url").alias("norm_url"),
-                F.col("_chk.domain").alias("domain"),
-                "warc_ts",
-                "text",
-                "lang",
-            )
+            return observed("canonical_rows", self._canonical_frame(pages))
 
         canonical = self._stage("01_canonical", build_canonical, resume, kind="lazy")
 
@@ -335,6 +396,196 @@ class DedupPipeline:
             summary["output_partitions"] = [
                 {"partition": r["pid"], "rows": r["count"]} for r in partition_rows
             ]
+        with open(os.path.join(self.workdir, "metrics.json"), "a") as fh:
+            fh.write(json.dumps(summary, default=str) + "\n")
+        return summary
+
+    def run_incremental(self, new_pages: DataFrame, store: FingerprintStore) -> dict:
+        """Dedup a DELTA batch against a FingerprintStore and emit the
+        MERGED cluster table — the daily-ingest path: the only pass
+        over a text column touches the delta (one fused fingerprint
+        scan); the store contributes (doc_id, key) bucket rows and, for
+        verification, only the partner texts of surviving candidates
+        (semi-join pruned).  Old x old pairs are never generated — the
+        base run's assignments already encode them and re-enter the
+        clustering as membership edges.
+
+        Equivalence to one full run over base ∪ delta (pinned by
+        tests/test_incremental.py) holds when (a) the store was built
+        with the same DedupConfig, (b) bucket caps do not bind
+        differently across the split, and (c) the delta's captures are
+        not earlier than the store's for shared norm_urls (this path
+        keeps the store's representative — first-seen-wins, the
+        streaming path's semantics).
+
+        The run's workdir gains delta-scoped 02_url_dedup /
+        04_fingerprints snapshots plus the merged 09_assignments, so
+        ``FingerprintStore.from_workdirs(spark, base, this_workdir)``
+        is the store for the NEXT delta — store files are immutable,
+        each batch adds its own (the Iceberg-snapshot shape)."""
+        cfg = self.config
+        if not cfg.fused_fingerprints:
+            raise ValueError("run_incremental requires fused_fingerprints=True")
+
+        from pyspark.sql import Observation
+
+        from ..operators import incremental as inc
+        from ..operators.fingerprints import fused_fingerprints
+
+        self._observations = {}
+
+        def observed(name: str, df: DataFrame) -> DataFrame:
+            obs = Observation(name)
+            self._observations[name] = obs
+            return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+        canonical = self._stage(
+            "01_canonical",
+            lambda: observed("canonical_rows", self._canonical_frame(new_pages)),
+            False,
+            kind="lazy",
+        )
+
+        # delta URL dedup, then first-seen-wins against the store: a
+        # norm_url the store already holds keeps its old representative
+        def build_url_dedup():
+            among_new = dedup.exact_dedup(
+                canonical.select("doc_id", "norm_url", "domain", "warc_ts", "text", "lang"),
+                key_cols=["norm_url"],
+                order_cols=["warc_ts", "doc_id"],
+                salt_partitions=cfg.salt_partitions,
+            )
+            return among_new.join(
+                store.docs.select("norm_url"), "norm_url", "left_anti"
+            ).select("doc_id", "norm_url", "domain", "warc_ts", "text", "lang", "n_copies")
+
+        url_unique = self._stage("02_url_dedup", build_url_dedup, False, kind="persist")
+
+        # the delta's ONLY text scan: fused MinHash+SimHash+winnow+md5
+        fingerprints = self._stage(
+            "04_fingerprints",
+            lambda: fused_fingerprints(
+                url_unique, num_perm=cfg.num_perm, shingle_k=cfg.shingle_k, seed=cfg.seed
+            ),
+            False,
+            kind="persist",
+        )
+        store_fps = store.fingerprints
+
+        # exact-text edges from stored hashes — no old text read
+        text_pairs = self._stage(
+            "03_exact_text_pairs",
+            lambda: inc.incremental_text_pairs(
+                fingerprints.select("doc_id", "text_hash"),
+                store_fps.select("doc_id", "text_hash"),
+            ),
+            False,
+            kind="lazy",
+        )
+
+        # LSH candidates (persisted: consumed by verify AND the
+        # substring stage's anti-join AND the semi-join prunes — lazy
+        # would re-run the window+agg DAG per consumer)
+        def build_candidates():
+            lsh_obs = Observation("05_lsh_buckets")
+            self._observations["lsh_buckets"] = lsh_obs
+            return inc.incremental_minhash_pairs(
+                fingerprints.select("doc_id", "signature"),
+                store_fps.select("doc_id", "signature"),
+                bands=cfg.bands,
+                max_bucket_size=cfg.max_bucket_size,
+                observation=lsh_obs,
+            )
+
+        candidates = self._stage("05_candidates", build_candidates, False, kind="persist")
+
+        all_sigs = fingerprints.select("doc_id", "signature").unionByName(
+            store_fps.select("doc_id", "signature")
+        )
+        all_texts = url_unique.select("doc_id", "text").unionByName(
+            store.docs.select("doc_id", "text")
+        )
+
+        def build_minhash_pairs():
+            return dedup.verify_pairs_jaccard(
+                candidates,
+                inc.prune_to_pair_members(all_texts, candidates),
+                signatures=inc.prune_to_pair_members(all_sigs, candidates),
+                threshold=cfg.jaccard_threshold,
+                shingle_k=cfg.shingle_k,
+            ).select("doc_a", "doc_b")
+
+        minhash_pairs = self._stage("05_minhash_pairs", build_minhash_pairs, False, kind="persist")
+
+        if cfg.with_simhash_stage:
+            simhash_pairs = self._stage(
+                "06_simhash_pairs",
+                lambda: inc.incremental_simhash_pairs(
+                    fingerprints.select("doc_id", "simhash"),
+                    store_fps.select("doc_id", "simhash"),
+                    max_hamming=cfg.simhash_max_hamming,
+                    max_bucket_size=cfg.max_bucket_size,
+                ).select("doc_a", "doc_b"),
+                False,
+                kind="lazy",
+            )
+        else:
+            simhash_pairs = None
+
+        if cfg.with_substring_stage:
+            substr_cands = self._stage(
+                "07_substring_cands",
+                lambda: inc.incremental_substring_candidates(
+                    fingerprints.select("doc_id", "winnow"),
+                    store_fps.select("doc_id", "winnow"),
+                    max_bucket_size=cfg.max_bucket_size,
+                ).join(minhash_pairs, ["doc_a", "doc_b"], "left_anti"),
+                False,
+                kind="persist",
+            )
+            substr_pairs = self._stage(
+                "07_substring_pairs",
+                lambda: suffix.verify_substring_pairs(
+                    substr_cands,
+                    inc.prune_to_pair_members(all_texts, substr_cands),
+                    min_length=cfg.substring_min_len,
+                ).select("doc_a", "doc_b"),
+                False,
+                kind="lazy",
+            )
+        else:
+            substr_pairs = None
+
+        def build_assignments():
+            evidence = text_pairs.unionByName(minhash_pairs)
+            if simhash_pairs is not None:
+                evidence = evidence.unionByName(simhash_pairs)
+            if substr_pairs is not None:
+                evidence = evidence.unionByName(substr_pairs)
+            merged = inc.merge_assignments(
+                store.assignments,
+                url_unique.select("doc_id"),
+                observed("evidence_pairs", evidence),
+            )
+            meta = url_unique.select("doc_id", "norm_url", "domain").unionByName(
+                store.docs.select("doc_id", "norm_url", "domain")
+            )
+            return merged.join(meta, "doc_id").select(
+                "doc_id", "norm_url", "domain", "cluster_id"
+            )
+
+        output = self._stage("09_assignments", build_assignments, False)
+
+        summary = {
+            "mode": "incremental",
+            "config": {k: v for k, v in vars(cfg).items() if not isinstance(v, dict)},
+            "stages": self.metrics,
+            "n_output": output.count() if self.count_rows else None,
+            "observed": {
+                name: _safe_observation(obs)
+                for name, obs in self._observations.items()
+            },
+        }
         with open(os.path.join(self.workdir, "metrics.json"), "a") as fh:
             fh.write(json.dumps(summary, default=str) + "\n")
         return summary

@@ -1,0 +1,153 @@
+"""Incremental (delta-batch vs fingerprint store) dedup correctness.
+
+The contract under test: base run + incremental delta run == one full
+run over base ∪ delta, bit-for-bit on (doc_id, cluster_id) — including
+duplicate groups straddling the batch boundary and cluster merges
+where a new doc bridges two old clusters.  The split is time-ordered
+(warc_ts grows with the generator's doc_id), matching the path's
+first-seen-wins URL semantics.
+"""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from courlan_spark.operators import incremental as inc
+from courlan_spark.plans.pipeline import DedupConfig, DedupPipeline, FingerprintStore
+from courlan_spark.sources.pages import generate_pages, pages_view
+
+
+def _assignments(pipe):
+    return sorted(
+        (r["doc_id"], r["cluster_id"]) for r in pipe.assignments().collect()
+    )
+
+
+def test_base_plus_delta_equals_full_run(spark):
+    full = generate_pages(spark, 1200).cache()
+    base = full.where("doc_id < 800")
+    delta = full.where("doc_id >= 800")
+    dirs = [tempfile.mkdtemp(prefix=f"inc_{k}_") for k in ("full", "base", "inc")]
+    try:
+        cfg = DedupConfig(jaccard_threshold=0.6)
+        full_pipe = DedupPipeline(spark, dirs[0], cfg)
+        full_summary = full_pipe.run(pages_view(full))
+
+        DedupPipeline(spark, dirs[1], cfg).run(pages_view(base))
+        store = FingerprintStore.from_workdir(spark, dirs[1])
+        inc_pipe = DedupPipeline(spark, dirs[2], cfg)
+        summary = inc_pipe.run_incremental(pages_view(delta), store)
+
+        assert summary["mode"] == "incremental"
+        # the merged table covers BOTH batches' docs, identically
+        assert summary["n_output"] == full_summary["n_output"]
+        assert _assignments(inc_pipe) == _assignments(full_pipe)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_chained_deltas_via_from_workdirs(spark):
+    "Two successive deltas, the second joining the base+first-delta store."
+    full = generate_pages(spark, 900).cache()
+    parts = [
+        full.where("doc_id < 400"),
+        full.where("doc_id >= 400 and doc_id < 650"),
+        full.where("doc_id >= 650"),
+    ]
+    dirs = [tempfile.mkdtemp(prefix=f"chain_{i}_") for i in range(4)]
+    try:
+        cfg = DedupConfig(jaccard_threshold=0.6)
+        full_pipe = DedupPipeline(spark, dirs[0], cfg)
+        full_pipe.run(pages_view(full))
+
+        DedupPipeline(spark, dirs[1], cfg).run(pages_view(parts[0]))
+        p1 = DedupPipeline(spark, dirs[2], cfg)
+        p1.run_incremental(
+            pages_view(parts[1]), FingerprintStore.from_workdir(spark, dirs[1])
+        )
+        p2 = DedupPipeline(spark, dirs[3], cfg)
+        p2.run_incremental(
+            pages_view(parts[2]),
+            FingerprintStore.from_workdirs(spark, dirs[1], dirs[2]),
+        )
+        assert _assignments(p2) == _assignments(full_pipe)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_new_doc_bridges_two_old_clusters(spark):
+    "merge_assignments relabels BOTH old clusters to the common min."
+    old = spark.createDataFrame(
+        [(10, 10), (11, 10), (20, 20), (21, 20), (30, 30)],
+        "doc_id long, cluster_id long",
+    )
+    new_ids = spark.createDataFrame([(40,)], "doc_id long")
+    new_pairs = spark.createDataFrame(
+        [(11, 40), (21, 40)], "doc_a long, doc_b long"
+    )
+    merged = {
+        r["doc_id"]: r["cluster_id"]
+        for r in inc.merge_assignments(old, new_ids, new_pairs).collect()
+    }
+    assert merged == {10: 10, 11: 10, 20: 10, 21: 10, 40: 10, 30: 30}
+
+
+def test_incremental_bucket_pairs_semantics(spark):
+    """Old-only buckets yield nothing; mixed buckets yield new-new and
+    new-old but never old-old; caps count old+new members and are
+    accounted via the observation."""
+    from pyspark.sql import Observation
+
+    new_rows = spark.createDataFrame(
+        [(100, "k1"), (101, "k1"), (102, "k3")], "doc_id long, k string"
+    )
+    old_rows = spark.createDataFrame(
+        [(1, "k1"), (2, "k2"), (3, "k2"), (4, "k3"), (5, "k3"), (6, "k3")],
+        "doc_id long, k string",
+    )
+    obs = Observation("acct")
+    pairs = inc.incremental_bucket_pairs(
+        new_rows, old_rows, "k", max_bucket_size=3, observation=obs
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # k1: news {100,101} x old {1} -> (100,101), (1,100), (1,101)
+    # k2: old-only -> nothing;  k3: 4 members > cap -> dropped
+    assert got == {(100, 101), (1, 100), (1, 101)}
+    acct = dict(obs.get)
+    assert acct["dropped_buckets"] == 1
+    assert acct["dropped_rows"] == 4
+    assert acct["active_buckets"] == 2  # k1 and (dropped) k3 have a new member
+
+
+def test_incremental_text_pairs_connectivity(spark):
+    """New docs link to the store's hash representative when the hash
+    is known, and to the delta-min otherwise."""
+    new_hashes = spark.createDataFrame(
+        [(200, "h1"), (201, "h1"), (202, "h9"), (203, "h9")],
+        "doc_id long, text_hash string",
+    )
+    old_hashes = spark.createDataFrame(
+        [(7, "h1"), (9, "h1")], "doc_id long, text_hash string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in inc.incremental_text_pairs(new_hashes, old_hashes).collect()
+    }
+    assert got == {(7, 200), (7, 201), (202, 203)}
+
+
+def test_store_requires_fused_columns(spark):
+    import pytest
+
+    full = generate_pages(spark, 200).cache()
+    workdir = tempfile.mkdtemp(prefix="inc_nofuse_")
+    try:
+        cfg = DedupConfig(jaccard_threshold=0.6, fused_fingerprints=False)
+        DedupPipeline(spark, workdir, cfg).run(pages_view(full))
+        with pytest.raises(ValueError, match="fused"):
+            FingerprintStore.from_workdir(spark, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
