@@ -233,6 +233,61 @@ def _skew_bench(spark) -> dict:
     return out
 
 
+def _incremental_bench(corpus_path: str) -> dict:
+    """Delta-vs-store ingest cost: the last 10% of the corpus arrives
+    as a new batch against the first 90%'s fingerprint store
+    (operators/incremental.py).  The headline full-corpus run is the
+    comparison point: a daily ingest should pay for the delta, not the
+    corpus.  The base run (store construction) is untimed."""
+    from pyspark.sql import functions as F
+
+    from courlan_spark.plans.pipeline import (
+        DedupConfig,
+        DedupPipeline,
+        FingerprintStore,
+    )
+    from courlan_spark.plans.session import get_session
+    from courlan_spark.sources.pages import pages_view
+
+    spark = get_session(app_name="bench-incremental", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm_workers(spark, CPUS)
+    full = spark.read.parquet(corpus_path)
+    cut = int(N_PAGES * 0.9)
+    base_dir = tempfile.mkdtemp(prefix="bench_inc_base_")
+    inc_dir = tempfile.mkdtemp(prefix="bench_inc_run_")
+    try:
+        # store build: snapshot_mode="all" persists the fused
+        # fingerprint frame the delta run joins against
+        DedupPipeline(
+            spark, base_dir, DedupConfig(jaccard_threshold=0.6), count_rows=False
+        ).run(pages_view(full.where(F.col("doc_id") < cut)))
+        store = FingerprintStore.from_workdir(spark, base_dir)
+
+        started = time.time()
+        pipe = DedupPipeline(
+            spark,
+            inc_dir,
+            DedupConfig(jaccard_threshold=0.6, snapshot_mode="minimal"),
+            count_rows=False,
+        )
+        pipe.run_incremental(pages_view(full.where(F.col("doc_id") >= cut)), store)
+        inc_secs = time.time() - started
+        n_delta = N_PAGES - cut
+        return {
+            "base_pages": cut,
+            "delta_pages": n_delta,
+            "incremental_secs": round(inc_secs, 2),
+            "delta_docs_per_sec": round(n_delta / inc_secs, 1),
+            "cpu_probe_mops": _cpu_probe(),
+            "dram_probe_gbs": _dram_probe(),
+        }
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+        shutil.rmtree(inc_dir, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     started_at = time.time()
     # soft wall-clock budget: optional steps (the auxiliary 1->4 pair)
@@ -384,6 +439,19 @@ def main() -> None:
                     ),
                 }
 
+        # --- incremental ingest section (delta vs fingerprint store) ---
+        incremental = None
+        if (
+            os.environ.get("SPARK_GRAFT_BENCH_INCREMENTAL", "1") != "0"
+            and time.time() - started_at < budget
+        ):
+            incremental = _incremental_bench(corpus_path)
+            incremental["full_rerun_secs"] = headline_run["secs"]
+            if incremental["incremental_secs"] > 0:
+                incremental["speedup_vs_full_rerun"] = round(
+                    headline_run["secs"] / incremental["incremental_secs"], 2
+                )
+
         # host ceiling context: the same-box cpu and DRAM-bandwidth
         # scaling from SCALE_LOW to SCALE_HIGH processes — the
         # efficiency any job could reach is bounded by a mix of these
@@ -412,6 +480,7 @@ def main() -> None:
             "precision": recall_run["precision"],
             "scaling": scaling,
             "skew": skew,
+            "incremental": incremental,
             "host_ceilings": host,
         }
         print(json.dumps(result))

@@ -249,23 +249,46 @@ def merge_assignments(
 ) -> DataFrame:
     """Fold new pair evidence into an existing cluster table.
 
-    Edges = the old table's (cluster_id, doc_id) membership edges plus
-    the new pairs; connected components relabel every affected doc (a
-    new doc bridging two old clusters merges them — both sides adopt
-    the min label, exactly as one full run would have).  Returns
-    (doc_id, cluster_id) covering old ∪ new docs."""
-    old_edges = old_assignments.where(
-        F.col("cluster_id") != F.col("doc_id")
-    ).select(F.col("cluster_id").alias("src"), F.col("doc_id").alias("dst"))
+    Connected components run over AFFECTED clusters only: the clusters
+    containing a pair endpoint contribute their (cluster_id, doc_id)
+    membership edges, the new pairs are added, and the iterative
+    large-star/small-star relabel touches just that subgraph — a new
+    doc bridging two old clusters merges them, both sides adopting the
+    min label.  Every other old doc keeps its label untouched, so the
+    merge cost scales with the delta's blast radius, not the corpus.
+    The result is identical to one full run's labels: an affected
+    cluster's members all appear in the subgraph (via their membership
+    edges, or via the pair itself for singletons), its old label is
+    the members' min doc_id already, and unaffected components have
+    the same membership either way.  Returns (doc_id, cluster_id)
+    covering old ∪ new docs."""
+    endpoints = new_pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    affected = (
+        old_assignments.join(endpoints, "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    scoped = old_assignments.join(affected, "cluster_id", "left_semi")
+    old_edges = scoped.where(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("cluster_id").alias("src"), F.col("doc_id").alias("dst")
+    )
     edges = old_edges.unionByName(
         new_pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    components = connected_components(edges, max_iterations=max_iterations)
-    all_docs = old_assignments.select("doc_id").unionByName(
-        new_doc_ids.select("doc_id")
+    components = connected_components(edges, max_iterations=max_iterations).withColumnRenamed(
+        "node", "doc_id"
     )
-    return (
-        all_docs.join(components.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+    merged_old = (
+        old_assignments.join(components, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("component", "cluster_id"))
+        .select("doc_id", "cluster_id")
+    )
+    merged_new = (
+        new_doc_ids.select("doc_id")
+        .join(components, "doc_id", "left")
         .withColumn("cluster_id", F.coalesce("component", "doc_id"))
         .select("doc_id", "cluster_id")
     )
+    return merged_old.unionByName(merged_new)

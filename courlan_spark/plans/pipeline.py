@@ -556,16 +556,25 @@ class DedupPipeline:
         else:
             substr_pairs = None
 
-        def build_assignments():
+        # evidence persists (tiny: two longs per pair): merge_assignments
+        # walks it several times — endpoint extraction, the affected-
+        # cluster semi-joins, and every CC iteration — and a lazy union
+        # would re-run the whole verify DAG for each walk
+        def build_evidence():
             evidence = text_pairs.unionByName(minhash_pairs)
             if simhash_pairs is not None:
                 evidence = evidence.unionByName(simhash_pairs)
             if substr_pairs is not None:
                 evidence = evidence.unionByName(substr_pairs)
+            return observed("evidence_pairs", evidence)
+
+        evidence = self._stage("08_evidence", build_evidence, False, kind="persist")
+
+        def build_assignments():
             merged = inc.merge_assignments(
                 store.assignments,
                 url_unique.select("doc_id"),
-                observed("evidence_pairs", evidence),
+                evidence,
             )
             meta = url_unique.select("doc_id", "norm_url", "domain").unionByName(
                 store.docs.select("doc_id", "norm_url", "domain")

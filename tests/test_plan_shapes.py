@@ -97,3 +97,24 @@ def test_lsh_candidates_no_self_join(spark):
     pairs, _ = dedup.lsh_candidate_pairs(sigs, max_bucket_size=100)
     plan = _optimized(pairs)
     assert "Join" not in plan
+
+
+def test_incremental_bucket_pairs_single_exchange(spark):
+    """The incremental (delta vs store) candidate stage keeps the
+    one-shuffle property: new/old membership rows union map-side, ONE
+    exchange on the bucket key feeds the new-count/size windows AND the
+    two-list aggregation, and pair expansion is native array code — no
+    join against the store anywhere."""
+    from courlan_spark.operators import incremental as inc
+
+    new = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37).alias("k")
+    )
+    old = spark.range(1000, 6000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37).alias("k")
+    )
+    pairs = inc.incremental_bucket_pairs(new, old, "k", 500)
+    assert "Join" not in _optimized(pairs)
+    physical = _plan(pairs)
+    assert physical.count("Exchange") == 1
+    assert "Window" in physical
