@@ -400,7 +400,12 @@ class DedupPipeline:
             fh.write(json.dumps(summary, default=str) + "\n")
         return summary
 
-    def run_incremental(self, new_pages: DataFrame, store: FingerprintStore) -> dict:
+    def run_incremental(
+        self,
+        new_pages: DataFrame,
+        store: FingerprintStore,
+        resume: bool = False,
+    ) -> dict:
         """Dedup a DELTA batch against a FingerprintStore and emit the
         MERGED cluster table — the daily-ingest path: the only pass
         over a text column touches the delta (one fused fingerprint
@@ -442,7 +447,7 @@ class DedupPipeline:
         canonical = self._stage(
             "01_canonical",
             lambda: observed("canonical_rows", self._canonical_frame(new_pages)),
-            False,
+            resume,
             kind="lazy",
         )
 
@@ -459,7 +464,7 @@ class DedupPipeline:
                 store.docs.select("norm_url"), "norm_url", "left_anti"
             ).select("doc_id", "norm_url", "domain", "warc_ts", "text", "lang", "n_copies")
 
-        url_unique = self._stage("02_url_dedup", build_url_dedup, False, kind="persist")
+        url_unique = self._stage("02_url_dedup", build_url_dedup, resume, kind="persist")
 
         # the delta's ONLY text scan: fused MinHash+SimHash+winnow+md5
         fingerprints = self._stage(
@@ -467,7 +472,7 @@ class DedupPipeline:
             lambda: fused_fingerprints(
                 url_unique, num_perm=cfg.num_perm, shingle_k=cfg.shingle_k, seed=cfg.seed
             ),
-            False,
+            resume,
             kind="persist",
         )
         store_fps = store.fingerprints
@@ -479,7 +484,7 @@ class DedupPipeline:
                 fingerprints.select("doc_id", "text_hash"),
                 store_fps.select("doc_id", "text_hash"),
             ),
-            False,
+            resume,
             kind="lazy",
         )
 
@@ -497,7 +502,7 @@ class DedupPipeline:
                 observation=lsh_obs,
             )
 
-        candidates = self._stage("05_candidates", build_candidates, False, kind="persist")
+        candidates = self._stage("05_candidates", build_candidates, resume, kind="persist")
 
         all_sigs = fingerprints.select("doc_id", "signature").unionByName(
             store_fps.select("doc_id", "signature")
@@ -515,7 +520,7 @@ class DedupPipeline:
                 shingle_k=cfg.shingle_k,
             ).select("doc_a", "doc_b")
 
-        minhash_pairs = self._stage("05_minhash_pairs", build_minhash_pairs, False, kind="persist")
+        minhash_pairs = self._stage("05_minhash_pairs", build_minhash_pairs, resume, kind="persist")
 
         if cfg.with_simhash_stage:
             simhash_pairs = self._stage(
@@ -526,7 +531,7 @@ class DedupPipeline:
                     max_hamming=cfg.simhash_max_hamming,
                     max_bucket_size=cfg.max_bucket_size,
                 ).select("doc_a", "doc_b"),
-                False,
+                resume,
                 kind="lazy",
             )
         else:
@@ -540,7 +545,7 @@ class DedupPipeline:
                     store_fps.select("doc_id", "winnow"),
                     max_bucket_size=cfg.max_bucket_size,
                 ).join(minhash_pairs, ["doc_a", "doc_b"], "left_anti"),
-                False,
+                resume,
                 kind="persist",
             )
             substr_pairs = self._stage(
@@ -550,7 +555,7 @@ class DedupPipeline:
                     inc.prune_to_pair_members(all_texts, substr_cands),
                     min_length=cfg.substring_min_len,
                 ).select("doc_a", "doc_b"),
-                False,
+                resume,
                 kind="lazy",
             )
         else:
@@ -568,7 +573,7 @@ class DedupPipeline:
                 evidence = evidence.unionByName(substr_pairs)
             return observed("evidence_pairs", evidence)
 
-        evidence = self._stage("08_evidence", build_evidence, False, kind="persist")
+        evidence = self._stage("08_evidence", build_evidence, resume, kind="persist")
 
         def build_assignments():
             merged = inc.merge_assignments(
@@ -583,7 +588,7 @@ class DedupPipeline:
                 "doc_id", "norm_url", "domain", "cluster_id"
             )
 
-        output = self._stage("09_assignments", build_assignments, False)
+        output = self._stage("09_assignments", build_assignments, resume)
 
         summary = {
             "mode": "incremental",

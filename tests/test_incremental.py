@@ -151,3 +151,39 @@ def test_store_requires_fused_columns(spark):
             FingerprintStore.from_workdir(spark, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_incremental_resume_after_failure(spark):
+    """Snapshot-mode incremental runs resume like the batch pipeline:
+    destroy everything from the candidates stage onward, re-run with
+    resume=True — early stages are reused, the rest rebuilt, and the
+    merged assignments are identical."""
+    import os
+
+    full = generate_pages(spark, 600).cache()
+    d_base = tempfile.mkdtemp(prefix="incres_b_")
+    d_inc = tempfile.mkdtemp(prefix="incres_i_")
+    try:
+        cfg = DedupConfig(jaccard_threshold=0.6)
+        DedupPipeline(spark, d_base, cfg).run(pages_view(full.where("doc_id < 400")))
+        store = FingerprintStore.from_workdir(spark, d_base)
+        delta = pages_view(full.where("doc_id >= 400"))
+
+        pipe = DedupPipeline(spark, d_inc, cfg)
+        pipe.run_incremental(delta, store)
+        before = _assignments(pipe)
+
+        for stage in os.listdir(d_inc):
+            if stage >= "05" and os.path.isdir(os.path.join(d_inc, stage)):
+                shutil.rmtree(os.path.join(d_inc, stage))
+
+        pipe2 = DedupPipeline(spark, d_inc, cfg)
+        summary = pipe2.run_incremental(delta, store, resume=True)
+        resumed = {m["stage"] for m in summary["stages"] if m.get("resumed")}
+        rebuilt = {m["stage"] for m in summary["stages"] if m.get("resumed") is False}
+        assert "04_fingerprints" in resumed and "02_url_dedup" in resumed
+        assert "05_candidates" in rebuilt and "09_assignments" in rebuilt
+        assert _assignments(pipe2) == before
+    finally:
+        shutil.rmtree(d_base, ignore_errors=True)
+        shutil.rmtree(d_inc, ignore_errors=True)
