@@ -269,6 +269,7 @@ def lsh_candidate_pairs(
     bands: int = hashing.DEFAULT_BANDS,
     max_bucket_size: int | None = 1000,
     observation=None,
+    buckets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Banded LSH: signature -> band bucket keys -> bucket self-join.
 
@@ -276,8 +277,13 @@ def lsh_candidate_pairs(
     with doc_a < doc_b; dropped_buckets accounts for buckets over
     ``max_bucket_size`` (hub boilerplate) that were excluded rather
     than silently exploding the join quadratically.
+
+    ``buckets`` (optional): precomputed (doc_id, band_key) membership
+    rows — e.g. exploded from the fused fingerprint frame's stored
+    ``bands`` column, which skips the band-hash Python pass entirely.
     """
-    buckets = band_buckets(signatures, bands)
+    if buckets is None:
+        buckets = band_buckets(signatures, bands)
     pairs = bucket_pair_explode(
         buckets, "band_key", max_bucket_size, observation=observation
     ).distinct()

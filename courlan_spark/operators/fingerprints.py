@@ -26,7 +26,8 @@ from ..functions import hashing
 from .suffix import DEFAULT_KGRAM, DEFAULT_WINDOW, winnow_fingerprints
 
 FUSED_SCHEMA = (
-    "signature array<long>, simhash long, winnow array<long>"
+    "signature array<long>, simhash long, winnow array<long>, "
+    "bands array<long>"
 )
 
 
@@ -36,13 +37,14 @@ def make_fused_fingerprint_udf(
     seed: int = hashing.DEFAULT_SEED,
     kgram: int = DEFAULT_KGRAM,
     window: int = DEFAULT_WINDOW,
+    bands: int = hashing.DEFAULT_BANDS,
 ):
-    "text -> struct(signature, simhash, winnow) in one kernel pass."
+    "text -> struct(signature, simhash, winnow, bands) in one kernel pass."
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(FUSED_SCHEMA)
     def fused_udf(texts: pd.Series) -> pd.DataFrame:
-        sigs, simhashes, winnows = [], [], []
+        sigs, simhashes, winnows, band_keys = [], [], [], []
         for text in texts:
             # null semantics per standalone kernel: SimHash maps
             # non-strings to 0 (make_simhash_udf), MinHash and winnow
@@ -51,17 +53,24 @@ def make_fused_fingerprint_udf(
             if not is_str:
                 text = ""
             features = hashing.shingle_hashes(text, shingle_k)
-            sigs.append(
-                hashing.minhash_signature(
-                    features, num_perm=num_perm, seed=seed
-                ).tolist()
-            )
+            sig = hashing.minhash_signature(features, num_perm=num_perm, seed=seed)
+            sigs.append(sig.tolist())
+            # LSH band bucket keys are a pure function of the signature:
+            # computing them HERE means neither the batch LSH stage nor
+            # any later incremental delta run pays a Python pass over
+            # stored signatures — buckets explode from a stored column
+            band_keys.append(hashing.band_hashes(sig, bands=bands).tolist())
             simhashes.append(
                 hashing.simhash64_from_features(features) if is_str else 0
             )
             winnows.append(winnow_fingerprints(text, kgram, window).tolist())
         return pd.DataFrame(
-            {"signature": sigs, "simhash": simhashes, "winnow": winnows}
+            {
+                "signature": sigs,
+                "simhash": simhashes,
+                "winnow": winnows,
+                "bands": band_keys,
+            }
         )
 
     return fused_udf
@@ -76,14 +85,15 @@ def fused_fingerprints(
     seed: int = hashing.DEFAULT_SEED,
     kgram: int = DEFAULT_KGRAM,
     window: int = DEFAULT_WINDOW,
+    bands: int = hashing.DEFAULT_BANDS,
 ) -> DataFrame:
-    """(doc_id, signature array<long>, simhash long, winnow array<long>)
-    — one Arrow pass over the text column.  Column-for-column equal to
-    the standalone minhash_signatures / simhash_fingerprints /
-    winnowing operators."""
+    """(doc_id, signature, simhash, winnow, bands, text_hash) — one
+    Arrow pass over the text column.  Column-for-column equal to the
+    standalone minhash_signatures / simhash_fingerprints / winnowing /
+    band_hashes operators."""
     udf = make_fused_fingerprint_udf(
         num_perm=num_perm, shingle_k=shingle_k, seed=seed,
-        kgram=kgram, window=window,
+        kgram=kgram, window=window, bands=bands,
     )
     source = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return source.select(
@@ -99,5 +109,6 @@ def fused_fingerprints(
         F.col("_fp.signature").alias("signature"),
         F.col("_fp.simhash").alias("simhash"),
         F.col("_fp.winnow").alias("winnow"),
+        F.col("_fp.bands").alias("bands"),
         "text_hash",
     )

@@ -153,11 +153,18 @@ def incremental_minhash_pairs(
     bands: int = hashing.DEFAULT_BANDS,
     max_bucket_size: int | None = 1000,
     observation=None,
+    new_buckets: DataFrame | None = None,
+    old_buckets: DataFrame | None = None,
 ) -> DataFrame:
-    "Distinct LSH candidate (doc_a, doc_b) with >= one new side."
+    """Distinct LSH candidate (doc_a, doc_b) with >= one new side.
+
+    Pass ``new_buckets``/``old_buckets`` (doc_id, band_key rows, e.g.
+    exploded from the fused frame's stored ``bands`` column) to skip
+    the band-hash Python pass — essential on the store side, where the
+    signatures may be the whole corpus."""
     return incremental_bucket_pairs(
-        band_buckets(new_signatures, bands),
-        band_buckets(old_signatures, bands),
+        new_buckets if new_buckets is not None else band_buckets(new_signatures, bands),
+        old_buckets if old_buckets is not None else band_buckets(old_signatures, bands),
         "band_key",
         max_bucket_size,
         observation=observation,

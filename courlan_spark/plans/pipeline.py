@@ -266,6 +266,7 @@ class DedupPipeline:
                 num_perm=cfg.num_perm,
                 shingle_k=cfg.shingle_k,
                 seed=cfg.seed,
+                bands=cfg.bands,
             )
 
         fingerprints = self._stage(
@@ -283,6 +284,14 @@ class DedupPipeline:
                 bands=cfg.bands,
                 max_bucket_size=cfg.max_bucket_size,
                 observation=lsh_obs,
+                # stored band keys: no band-hash Python pass here
+                buckets=(
+                    fingerprints.select(
+                        "doc_id", F.explode("bands").alias("band_key")
+                    )
+                    if cfg.fused_fingerprints
+                    else None
+                ),
             )
             verified = dedup.verify_pairs_jaccard(
                 candidates,
@@ -470,7 +479,11 @@ class DedupPipeline:
         fingerprints = self._stage(
             "04_fingerprints",
             lambda: fused_fingerprints(
-                url_unique, num_perm=cfg.num_perm, shingle_k=cfg.shingle_k, seed=cfg.seed
+                url_unique,
+                num_perm=cfg.num_perm,
+                shingle_k=cfg.shingle_k,
+                seed=cfg.seed,
+                bands=cfg.bands,
             ),
             resume,
             kind="persist",
@@ -494,12 +507,23 @@ class DedupPipeline:
         def build_candidates():
             lsh_obs = Observation("05_lsh_buckets")
             self._observations["lsh_buckets"] = lsh_obs
+            # both sides explode STORED band keys: the store never
+            # pays a Python pass, however large it has grown
+            def bucket_rows(df):
+                return df.select("doc_id", F.explode("bands").alias("band_key"))
+
             return inc.incremental_minhash_pairs(
                 fingerprints.select("doc_id", "signature"),
                 store_fps.select("doc_id", "signature"),
                 bands=cfg.bands,
                 max_bucket_size=cfg.max_bucket_size,
                 observation=lsh_obs,
+                new_buckets=bucket_rows(fingerprints),
+                old_buckets=(
+                    bucket_rows(store_fps)
+                    if "bands" in store_fps.columns
+                    else None
+                ),
             )
 
         candidates = self._stage("05_candidates", build_candidates, resume, kind="persist")

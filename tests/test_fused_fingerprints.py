@@ -37,10 +37,21 @@ def test_fused_equals_standalone_kernels(spark):
             winnow_udf(F.coalesce("text", F.lit(""))).alias("w"),
         ).collect()
     }
+    import numpy as np
+
+    from courlan_spark.functions import hashing
+
     for doc_id in (1, 2, 3, 4, 5, 6):
         assert fused[doc_id]["signature"] == sigs[doc_id], doc_id
         assert fused[doc_id]["simhash"] == simhashes[doc_id], doc_id
         assert fused[doc_id]["winnow"] == winnows[doc_id], doc_id
+        # stored band keys == the band kernel over the signature (what
+        # dedup.band_buckets would compute) — the equality that lets
+        # the LSH stage and incremental runs explode the stored column
+        expect = hashing.band_hashes(
+            np.asarray(sigs[doc_id], dtype=np.int64)
+        ).tolist()
+        assert fused[doc_id]["bands"] == expect, doc_id
 
 
 def test_substring_candidates_from_precomputed_winnow(spark):
