@@ -516,6 +516,29 @@ def ngram_jaccard_pairs(
     )
 
 
+def keep_representatives(
+    docs: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The pipeline's consumable: one surviving row per cluster — the
+    representative (cluster_id == its min member id, so the filter is
+    a plain column equality, no window/agg over members) — annotated
+    with ``cluster_size``.  Singletons survive with size 1.  One hash
+    aggregation for the sizes, one equi-join back to the docs; both
+    shuffle on keys AQE can handle."""
+    sizes = assignments.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    reps = assignments.where(F.col(id_col) == F.col("cluster_id"))
+    return (
+        docs.join(reps.select(id_col), id_col)
+        .join(
+            sizes.withColumnRenamed("cluster_id", id_col), id_col
+        )
+    )
+
+
 def cluster_assignments(
     docs: DataFrame,
     verified_pairs: DataFrame,

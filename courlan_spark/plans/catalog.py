@@ -624,6 +624,23 @@ def q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_assignments(docs, verified.select("doc_a", "doc_b"))
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's consumable: one representative row per
+    cluster (the min-member, cluster_id == doc_id) with cluster_size;
+    singletons survive with size 1.  Oracle: the recursive-CTE
+    clustering joined back to the corpus with the same representative
+    filter and a group-by size."""
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sigs = dedup.minhash_signatures(docs)
+    pairs, _ = dedup.lsh_candidate_pairs(sigs)
+    verified = dedup.verify_pairs_jaccard(pairs, docs, signatures=sigs, threshold=0.5)
+    assign = dedup.cluster_assignments(docs, verified.select("doc_a", "doc_b"))
+    return dedup.keep_representatives(
+        docs.select("doc_id", "n_chars"), assign
+    ).select("doc_id", "n_chars", "cluster_size")
+
+
 def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup (operators/incremental.py): the corpus is
     split deterministically into a base batch (doc_id % 4 != 0) and a
@@ -1006,6 +1023,24 @@ SELECT node AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY node
 """
 
 
+def _dedup_survivors_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_shingle_cte(9)}, {_jaccard_pairs_cte(0.5)},
+edges AS (SELECT doc_a AS s, doc_b AS d FROM jpairs
+          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+cc(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, c.comp FROM cc c JOIN edges e ON e.s = c.node),
+assign AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY cluster_id)
+SELECT d.doc_id, d.n_chars, s.cluster_size
+FROM documents d
+JOIN assign a ON a.doc_id = d.doc_id AND a.doc_id = a.cluster_id
+JOIN sizes s ON s.cluster_id = a.cluster_id
+"""
+
+
 def _simhash_fingerprints_oracle() -> str:
     mixed = _splitmix64_sql("h")
     return f"""
@@ -1127,6 +1162,7 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
 ORACLES["q_minhash_lsh_pairs"] = _minhash_lsh_pairs_oracle()
 ORACLES["q_cluster_assignments"] = _cluster_assignments_oracle()
 ORACLES["q_incremental_clusters"] = _cluster_assignments_oracle()
+ORACLES["q_dedup_survivors"] = _dedup_survivors_oracle()
 ORACLES["q_simhash_fingerprints"] = _simhash_fingerprints_oracle()
 ORACLES["q_substring_pairs"] = _substring_pairs_oracle()
 ORACLES["q_suffix_array_pass"] = _suffix_array_pass_oracle()
@@ -1196,6 +1232,7 @@ QUERIES = {
     "q_suffix_array_pass": q_suffix_array_pass,
     "q_remove_boilerplate": q_remove_boilerplate,
     "q_cluster_assignments": q_cluster_assignments,
+    "q_dedup_survivors": q_dedup_survivors,
     "q_incremental_clusters": q_incremental_clusters,
     "q_ann_topk_lsh": q_ann_topk_lsh,
     "q_ann_topk_ivf": q_ann_topk_ivf,

@@ -416,3 +416,21 @@ def test_scalar_sample_matches_spark_operator(spark):
     frontier = exact_path_dedup(ingest_urls(df))
     dist = sorted(r["url"] for r in sample_per_domain(frontier, samplesize=25).collect())
     assert scalar == dist
+
+
+def test_keep_representatives(spark):
+    """One surviving row per cluster (the min-member representative)
+    with cluster_size; singletons survive with size 1."""
+    from courlan_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "d")], "doc_id long, text string"
+    )
+    assignments = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (9, 9)], "doc_id long, cluster_id long"
+    )
+    rows = {
+        r["doc_id"]: (r["text"], r["cluster_size"])
+        for r in dedup.keep_representatives(docs, assignments).collect()
+    }
+    assert rows == {1: ("a", 2), 3: ("c", 1), 9: ("d", 1)}
