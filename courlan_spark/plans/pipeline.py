@@ -630,3 +630,12 @@ class DedupPipeline:
 
     def assignments(self) -> DataFrame:
         return _read_snapshot(self.spark, _snapshot_path(self.workdir, "09_assignments"))
+
+    def deduped_docs(self, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        """The pipeline's consumable: ``docs`` reduced to one
+        representative row per cluster (min member), annotated with
+        cluster_size (dedup.keep_representatives over the final
+        assignments snapshot)."""
+        return dedup.keep_representatives(
+            docs, self.assignments().select("doc_id", "cluster_id"), id_col=id_col
+        )

@@ -105,3 +105,21 @@ def test_partial_resume_after_failure(spark):
         assert before == after
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_deduped_docs_output(spark):
+    "deduped_docs keeps exactly one representative per cluster and covers every cluster."
+    full = generate_pages(spark, 400).cache()
+    workdir = tempfile.mkdtemp(prefix="dedup_out_")
+    try:
+        pipe = DedupPipeline(spark, workdir, DedupConfig(jaccard_threshold=0.6))
+        pipe.run(pages_view(full))
+        assigns = pipe.assignments()
+        survivors = pipe.deduped_docs(
+            assigns.select("doc_id", "norm_url")
+        ).collect()
+        clusters = {r["cluster_id"] for r in assigns.collect()}
+        assert {r["doc_id"] for r in survivors} == clusters
+        assert sum(r["cluster_size"] for r in survivors) == assigns.count()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
