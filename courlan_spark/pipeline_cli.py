@@ -9,6 +9,17 @@ addition — the full dedup pipeline — from the command line:
         [--threshold 0.6] [--snapshot-mode all|minimal] [--resume]
         [--parallel 8] [--language de] [--strict]
 
+Incremental ingest (a delta batch against previous runs' fingerprint
+store — operators/incremental.py):
+
+    python -m courlan_spark.pipeline_cli \
+        --input delta.parquet --workdir /data/dedup_day2 \
+        --store-workdir /data/dedup_run [--store-workdir /data/dedup_day1]
+
+`--store-workdir` may repeat (oldest first) to chain delta batches;
+the run writes delta-scoped snapshots plus the fully merged
+09_assignments, so its own workdir becomes the next chain link.
+
 Input: a parquet table shaped (url string, warc_ts timestamp,
 html binary, text string, lang string) — the Common-Crawl-style page
 table of the north rule.  Output: `<workdir>/09_assignments` snapshot
@@ -46,6 +57,11 @@ def parse_args(args: list[str] | None = None) -> argparse.Namespace:
     parser.add_argument("--no-simhash", action="store_true")
     parser.add_argument("--no-substring", action="store_true")
     parser.add_argument(
+        "--store-workdir", action="append", default=None,
+        help="run incrementally: fingerprint-store workdir(s) of the "
+        "base run and any earlier deltas, oldest first (repeatable)",
+    )
+    parser.add_argument(
         "-p", "--parallel", type=int, default=None,
         help="local cores (cluster: use spark-submit instead)",
     )
@@ -78,10 +94,16 @@ def run(args: argparse.Namespace, spark=None) -> dict:
             snapshot_mode=args.snapshot_mode,
         )
         pipeline = DedupPipeline(spark, args.workdir, config)
-        summary = pipeline.run(
-            pages.select("url", "warc_ts", "html", "text", "lang"),
-            resume=args.resume,
-        )
+        page_cols = pages.select("url", "warc_ts", "html", "text", "lang")
+        if args.store_workdir:
+            from .plans.pipeline import FingerprintStore
+
+            store = FingerprintStore.from_workdirs(spark, *args.store_workdir)
+            summary = pipeline.run_incremental(
+                page_cols, store, resume=args.resume
+            )
+        else:
+            summary = pipeline.run(page_cols, resume=args.resume)
         return summary
     finally:
         if own_session:

@@ -119,3 +119,44 @@ def test_pipeline_cli_end_to_end_and_resume(spark, tmp_path):
         for r in spark.read.parquet(workdir + "/09_assignments").collect()
     }
     assert first == second
+
+
+def test_pipeline_cli_incremental(spark, tmp_path):
+    "--store-workdir switches to the incremental path and merges clusters."
+    from datetime import datetime, timedelta
+
+    from courlan_spark import pipeline_cli
+
+    base = datetime(2025, 1, 1)
+
+    def write(name, lo, hi):
+        rows = [
+            (f"https://site{i % 5}.example.org/p/{i}", base + timedelta(seconds=i),
+             b"<html></html>",
+             f"document body number {i % 10} with plenty of shared words inside",
+             "en")
+            for i in range(lo, hi)
+        ]
+        path = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).write.parquet(path)
+        return path
+
+    base_src, delta_src = write("base", 0, 20), write("delta", 20, 30)
+    base_dir, inc_dir = str(tmp_path / "base_run"), str(tmp_path / "inc_run")
+    pipeline_cli.run(
+        pipeline_cli.parse_args(["--input", base_src, "--workdir", base_dir]),
+        spark=spark,
+    )
+    summary = pipeline_cli.run(
+        pipeline_cli.parse_args(
+            ["--input", delta_src, "--workdir", inc_dir,
+             "--store-workdir", base_dir]
+        ),
+        spark=spark,
+    )
+    assert summary["mode"] == "incremental"
+    assert summary["n_output"] == 30
+    merged = spark.read.parquet(inc_dir + "/09_assignments")
+    assert merged.count() == 30

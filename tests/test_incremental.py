@@ -187,3 +187,30 @@ def test_incremental_resume_after_failure(spark):
     finally:
         shutil.rmtree(d_base, ignore_errors=True)
         shutil.rmtree(d_inc, ignore_errors=True)
+
+
+def test_incremental_caps_fire_on_skewed_store(spark):
+    """A boilerplate block spanning both batches floods one LSH bucket:
+    the incremental candidate stage must drop it WITH accounting (no
+    silent truncation, no quadratic expansion) and still finish."""
+    from courlan_spark.sources.pages import skew_overlay
+
+    full = skew_overlay(generate_pages(spark, 600), boiler_mod=2).cache()
+    d_base = tempfile.mkdtemp(prefix="incskew_b_")
+    d_inc = tempfile.mkdtemp(prefix="incskew_i_")
+    try:
+        cfg = DedupConfig(jaccard_threshold=0.6, max_bucket_size=50)
+        DedupPipeline(spark, d_base, cfg).run(pages_view(full.where("doc_id < 400")))
+        store = FingerprintStore.from_workdir(spark, d_base)
+        pipe = DedupPipeline(spark, d_inc, cfg)
+        summary = pipe.run_incremental(
+            pages_view(full.where("doc_id >= 400")), store
+        )
+        acct = summary["observed"].get("lsh_buckets", {})
+        assert acct.get("dropped_buckets", 0) > 0, acct
+        assert acct.get("dropped_rows", 0) > acct["dropped_buckets"]
+        # output still covers every url-unique doc across both batches
+        assert summary["n_output"] == pipe.assignments().count() > 0
+    finally:
+        shutil.rmtree(d_base, ignore_errors=True)
+        shutil.rmtree(d_inc, ignore_errors=True)
