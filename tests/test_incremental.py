@@ -214,3 +214,46 @@ def test_incremental_caps_fire_on_skewed_store(spark):
     finally:
         shutil.rmtree(d_base, ignore_errors=True)
         shutil.rmtree(d_inc, ignore_errors=True)
+
+
+def test_incremental_bucket_pairs_matches_model_randomized(spark):
+    """Randomized model check: 40 random (new, old, cap) bucket
+    configurations evaluated in ONE Spark job (case-prefixed keys keep
+    them disjoint) against a brute-force Python model of the contract:
+    pairs = all i<j row pairs of buckets with >=2 member rows and
+    row-count <= cap, minus pairs whose sides are both old."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    cap = 6
+    new_rows, old_rows, expected = [], [], set()
+    for case in range(40):
+        n_new, n_old = int(rng.integers(0, 6)), int(rng.integers(0, 8))
+        news = [(int(rng.integers(0, 12)), f"{case}:{rng.integers(0, 4)}")
+                for _ in range(n_new)]
+        olds = [(int(rng.integers(100, 112)), f"{case}:{rng.integers(0, 4)}")
+                for _ in range(n_old)]
+        new_rows += news
+        old_rows += olds
+        buckets = {}
+        for d, k in news:
+            buckets.setdefault(k, []).append((d, True))
+        for d, k in olds:
+            buckets.setdefault(k, []).append((d, False))
+        for members in buckets.values():
+            if not (2 <= len(members) <= cap):
+                continue
+            for i, (a, a_new) in enumerate(members):
+                for b, b_new in members[i + 1:]:
+                    if a != b and (a_new or b_new):
+                        expected.add((min(a, b), max(a, b)))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in inc.incremental_bucket_pairs(
+            spark.createDataFrame(new_rows or [(0, "z:z")], "doc_id long, k string"),
+            spark.createDataFrame(old_rows or [(0, "z:y")], "doc_id long, k string"),
+            "k",
+            max_bucket_size=cap,
+        ).collect()
+    }
+    assert got == expected
