@@ -230,6 +230,72 @@ def ivf_topk(
     return _rank_topk(candidates, k, round_decimals)
 
 
+def incremental_embedding_neardup(
+    new_vectors: DataFrame,
+    old_vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 10,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 2000,
+    seed: int = 42,
+    round_decimals: int | None = None,
+    new_buckets: DataFrame | None = None,
+    old_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs touching at least one NEW
+    vector — the embedding-store analog of the text-side incremental
+    path (operators/incremental.py): hyperplane bucket keys from the
+    SAME kernel meet delta and store rows in one shuffle, old-only
+    buckets are pruned before anything materializes, pair expansion is
+    new x new + new x old, and exact cosine rescoring touches only the
+    candidate pairs' vectors (semi-join pruned).  Pass
+    ``old_buckets``/``new_buckets`` ((doc_id, bucket) rows, e.g.
+    persisted at store-build time) to skip the hyperplane UDF pass —
+    on the store side that pass would cover the whole corpus."""
+    from .dedup import attach_pair_payloads
+    from .incremental import incremental_bucket_pairs, prune_to_pair_members
+
+    bucket_udf = make_hyperplane_bucket_udf(dim, planes, tables, seed)
+
+    def rows(df):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(bucket_udf(F.col(vec_col))).alias("bucket"),
+        )
+
+    pairs = incremental_bucket_pairs(
+        new_buckets if new_buckets is not None else rows(new_vectors),
+        old_buckets if old_buckets is not None else rows(old_vectors),
+        "bucket",
+        max_bucket_size,
+    ).distinct()
+    union_vecs = new_vectors.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
+    ).unionByName(
+        old_vectors.select(
+            F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
+        )
+    )
+    paired = attach_pair_payloads(
+        pairs, prune_to_pair_members(union_vecs, pairs), "doc_id", "vec", "va", "vb"
+    )
+    cos = _cosine_expr(F.col("va"), F.col("vb"))
+    if round_decimals is not None:
+        cos = F.round(cos, round_decimals)
+    return (
+        paired.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     dim: int,

@@ -758,6 +758,33 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup: vec_id % 4 == 0 arrives as the
+    delta against the rest as the store; only pairs with a new side are
+    generated and rescored (similarity.incremental_embedding_neardup).
+    Same full-recall bucket config as q_embedding_neardup_lsh, so the
+    oracle is the exact brute-force pair set restricted to pairs
+    touching a new vector."""
+    import math
+
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    n = _table_rows_from_metadata(sf_dir, "embeddings")
+    if n is None:
+        n = emb.count()
+    planes = max(4, math.ceil(math.log2(max(n, 64) / 32)))
+    tables = 48 if n <= 600 else 16
+    return similarity.incremental_embedding_neardup(
+        emb.where(F.col("vec_id") % 4 == 0),
+        emb.where(F.col("vec_id") % 4 != 0),
+        dim=64,
+        threshold=0.35,
+        planes=planes,
+        tables=tables,
+        round_decimals=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB side)
 # ---------------------------------------------------------------------------
@@ -1170,6 +1197,15 @@ ORACLES["q_remove_boilerplate"] = _REMOVE_BOILERPLATE_ORACLE
 ORACLES["q_ann_topk_lsh"] = _ANN_TOPK_ORACLE
 ORACLES["q_ann_topk_ivf"] = _ANN_TOPK_ORACLE
 ORACLES["q_embedding_neardup_lsh"] = _EMBEDDING_NEARDUP_ORACLE
+ORACLES["q_embedding_neardup_incremental"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE (a.vec_id % 4 = 0 OR b.vec_id % 4 = 0)
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= 0.35
+"""
 
 
 def _langid_oracle() -> str:
@@ -1237,4 +1273,5 @@ QUERIES = {
     "q_ann_topk_lsh": q_ann_topk_lsh,
     "q_ann_topk_ivf": q_ann_topk_ivf,
     "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "q_embedding_neardup_incremental": q_embedding_neardup_incremental,
 }

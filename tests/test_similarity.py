@@ -79,3 +79,26 @@ def test_ivf_deterministic(spark, emb):
         )
     )
     assert one == two
+
+
+def test_incremental_embedding_neardup_equals_batch_restriction(spark, emb):
+    """The delta-vs-store embedding near-dup equals the batch operator's
+    pair set restricted to pairs touching a new vector (same full-recall
+    bucket config), and never emits an old-old pair."""
+    new = emb.where("vec_id % 4 = 0")
+    old = emb.where("vec_id % 4 != 0")
+    batch = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            emb, dim=64, threshold=0.35, planes=4, tables=48, round_decimals=4
+        ).collect()
+    }
+    expected = {(a, b) for a, b in batch if a % 4 == 0 or b % 4 == 0}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.incremental_embedding_neardup(
+            new, old, dim=64, threshold=0.35, planes=4, tables=48, round_decimals=4
+        ).collect()
+    }
+    assert got == expected
+    assert all(a % 4 == 0 or b % 4 == 0 for a, b in got)
