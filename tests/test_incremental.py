@@ -257,3 +257,27 @@ def test_incremental_bucket_pairs_matches_model_randomized(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_empty_delta_keeps_store_assignments(spark):
+    """A delta that canonicalizes to zero rows (or to rows with no
+    duplicates) must not break the merge: the output is the store's
+    assignments (plus any genuinely new singletons), not an error from
+    connected components over an empty evidence set."""
+    full = generate_pages(spark, 300).cache()
+    d_base = tempfile.mkdtemp(prefix="empty_b_")
+    d_inc = tempfile.mkdtemp(prefix="empty_i_")
+    try:
+        cfg = DedupConfig(jaccard_threshold=0.6)
+        base_pipe = DedupPipeline(spark, d_base, cfg)
+        base_pipe.run(pages_view(full.where("doc_id < 250")))
+        store = FingerprintStore.from_workdir(spark, d_base)
+        pipe = DedupPipeline(spark, d_inc, cfg)
+        summary = pipe.run_incremental(
+            pages_view(full.where("doc_id < 0")), store
+        )
+        assert _assignments(pipe) == _assignments(base_pipe)
+        assert summary["n_output"] == base_pipe.assignments().count()
+    finally:
+        shutil.rmtree(d_base, ignore_errors=True)
+        shutil.rmtree(d_inc, ignore_errors=True)
