@@ -531,6 +531,32 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-island sessionization over the events stream: a new
+    session starts after 30 minutes of per-user inactivity (the batch
+    formulation of the streaming session window — lag + conditional
+    running sum, one shuffle on user_id shared by both window passes
+    and the final aggregation).  Timestamps compare exactly
+    (microsecond interval arithmetic, no float epoch math), so the
+    session boundaries are engine-independent."""
+    from pyspark.sql import Window
+
+    _views(spark, sf_dir, "events")
+    events = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessions = events.withColumn("session_no", F.sum(is_new).over(w))
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q1-style relational sanity check (decimal-exact sums)."
     _views(spark, sf_dir, "lineitem")
@@ -1190,6 +1216,21 @@ ORACLES["q_minhash_lsh_pairs"] = _minhash_lsh_pairs_oracle()
 ORACLES["q_cluster_assignments"] = _cluster_assignments_oracle()
 ORACLES["q_incremental_clusters"] = _cluster_assignments_oracle()
 ORACLES["q_dedup_survivors"] = _dedup_survivors_oracle()
+ORACLES["q_event_sessions"] = """
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM t)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_no
+"""
 ORACLES["q_simhash_fingerprints"] = _simhash_fingerprints_oracle()
 ORACLES["q_substring_pairs"] = _substring_pairs_oracle()
 ORACLES["q_suffix_array_pass"] = _suffix_array_pass_oracle()
@@ -1261,6 +1302,7 @@ QUERIES = {
     "q_embedding_neighbors": q_embedding_neighbors,
     "q_media_features": q_media_features,
     "q_pricing_summary": q_pricing_summary,
+    "q_event_sessions": q_event_sessions,
     # kernel surfaces with independent DuckDB ground-truth oracles
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash_fingerprints": q_simhash_fingerprints,
