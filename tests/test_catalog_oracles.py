@@ -72,3 +72,35 @@ def duck():
 def test_oracle_sql_runs_on_duckdb(duck, name):
     rows = duck.execute(ORACLES[name]).fetchmany(5)
     assert isinstance(rows, list)
+
+
+def test_event_sessions_equal_native_session_window(spark):
+    """The gap-and-island formulation (q_event_sessions) produces the
+    same sessions as Spark's native session_window aggregation — the
+    operator a streaming deployment would use (watermark + append mode)
+    — so the batch oracle also certifies the streaming-native path."""
+    from pyspark.sql import functions as F
+
+    from courlan_spark.plans.catalog import q_event_sessions
+
+    sf_dir = "/root/testdata/sf0.001"
+    ours = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in q_event_sessions(spark, sf_dir).collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    native = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in (
+            events.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("sw")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+            .select("user_id", "session_start", "session_end", "n_events")
+        ).collect()
+    }
+    assert ours == native and len(ours) > 50
