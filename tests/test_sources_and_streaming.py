@@ -412,3 +412,48 @@ def test_streaming_neardup_pipeline_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert (1, 4) in got  # cross-batch verified pair
+
+
+def test_user_session_windows_streaming_closed_sessions(spark, tmp_path):
+    """Native session windows on a file stream: append mode emits
+    exactly the sessions the watermark has closed, each equal to the
+    batch formulation's session."""
+    import pandas as pd
+
+    from courlan_spark.streaming.stateful import user_session_windows
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    rows = []
+    # user 1: two sessions (40-min gap); user 2: one session, then a
+    # late burst that keeps its last session open past the watermark
+    for mins, user in [(0, 1), (5, 1), (50, 1), (0, 2), (10, 2), (170, 2), (175, 2)]:
+        rows.append({"ts": base + pd.Timedelta(minutes=mins), "user_id": user})
+    pdf = pd.DataFrame(rows)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema("ts timestamp, user_id bigint").parquet(str(src))
+    q = (
+        user_session_windows(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    batch = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in user_session_windows(spark.createDataFrame(pdf)).collect()
+    }
+    # watermark = max event time (02:55) - 1h = 01:55: the three early
+    # sessions closed; user 2's 02:50-02:55 session is still open and
+    # withheld (bounded state)
+    closed = {s for s in batch if s[2] < "2025-01-01 01:55:00"}
+    assert got == closed and len(got) == 3
