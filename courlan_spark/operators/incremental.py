@@ -21,9 +21,10 @@ Scale shape: the store side ships only (doc_id, key[, payload]) rows
 — never text — through ONE exchange per kernel; buckets containing no
 new member (the overwhelming majority in a small-delta run) are pruned
 by a windowed new-count sharing that exchange, BEFORE any collect;
-pair expansion is new x new plus new x old, never old x old.  The
-verify stages semi-join the corpus down to pair participants before
-any text moves.
+pair expansion is new x new plus new x old, never old x old.  Verify
+stages attach pair payloads by exploding the (small) pair set and
+broadcast-joining it against the corpus union, so only matched store
+rows ever shuffle — in the same scan, with no separate prune pass.
 """
 
 from __future__ import annotations
@@ -133,18 +134,6 @@ def incremental_bucket_pairs(
         F.when(flip, b["pl"]).otherwise(a["pl"]).alias(out_payload[0]),
         F.when(flip, a["pl"]).otherwise(b["pl"]).alias(out_payload[1]),
     )
-
-
-def prune_to_pair_members(
-    table: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
-    """Semi-join ``table`` down to rows participating in ``pairs`` —
-    the guard that keeps incremental verify stages from shuffling the
-    store's text column: only candidate partners' rows move."""
-    ids = pairs.select(
-        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
-    ).distinct()
-    return table.join(ids, id_col, "left_semi")
 
 
 def incremental_minhash_pairs(

@@ -250,13 +250,13 @@ def incremental_embedding_neardup(
     path (operators/incremental.py): hyperplane bucket keys from the
     SAME kernel meet delta and store rows in one shuffle, old-only
     buckets are pruned before anything materializes, pair expansion is
-    new x new + new x old, and exact cosine rescoring touches only the
-    candidate pairs' vectors (semi-join pruned).  Pass
+    new x new + new x old, and the exact-cosine rescore broadcasts the (small) pair
+    set into the payload join so only matched vectors shuffle.  Pass
     ``old_buckets``/``new_buckets`` ((doc_id, bucket) rows, e.g.
     persisted at store-build time) to skip the hyperplane UDF pass —
     on the store side that pass would cover the whole corpus."""
     from .dedup import attach_pair_payloads
-    from .incremental import incremental_bucket_pairs, prune_to_pair_members
+    from .incremental import incremental_bucket_pairs
 
     bucket_udf = make_hyperplane_bucket_udf(dim, planes, tables, seed)
 
@@ -280,7 +280,7 @@ def incremental_embedding_neardup(
         )
     )
     paired = attach_pair_payloads(
-        pairs, prune_to_pair_members(union_vecs, pairs), "doc_id", "vec", "va", "vb"
+        pairs, union_vecs, "doc_id", "vec", "va", "vb"
     )
     cos = _cosine_expr(F.col("va"), F.col("vb"))
     if round_decimals is not None:

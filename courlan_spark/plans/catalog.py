@@ -697,10 +697,8 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = inc.incremental_minhash_pairs(delta_sigs, base_sigs)
     verified = dedup.verify_pairs_jaccard(
         cands,
-        inc.prune_to_pair_members(docs.select("doc_id", "text"), cands),
-        signatures=inc.prune_to_pair_members(
-            base_sigs.unionByName(delta_sigs), cands
-        ),
+        docs.select("doc_id", "text"),
+        signatures=base_sigs.unionByName(delta_sigs),
         threshold=0.5,
     )
     return inc.merge_assignments(

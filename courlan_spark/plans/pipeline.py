@@ -420,7 +420,8 @@ class DedupPipeline:
         over a text column touches the delta (one fused fingerprint
         scan); the store contributes (doc_id, key) bucket rows and, for
         verification, only the partner texts of surviving candidates
-        (semi-join pruned).  Old x old pairs are never generated — the
+        (the pair set broadcasts into the payload join, so only
+        matched store rows shuffle).  Old x old pairs are never generated — the
         base run's assignments already encode them and re-enter the
         clustering as membership edges.
 
@@ -501,9 +502,9 @@ class DedupPipeline:
             kind="lazy",
         )
 
-        # LSH candidates (persisted: consumed by verify AND the
-        # substring stage's anti-join AND the semi-join prunes — lazy
-        # would re-run the window+agg DAG per consumer)
+        # LSH candidates persist: the verify stage walks them twice
+        # (estimate prefilter + payload attach), and the observation
+        # must record on exactly one execution of the pass
         def build_candidates():
             lsh_obs = Observation("05_lsh_buckets")
             self._observations["lsh_buckets"] = lsh_obs
@@ -536,10 +537,15 @@ class DedupPipeline:
         )
 
         def build_minhash_pairs():
+            # the pair-payload attach inside verify explodes the (small)
+            # pair set and broadcast-joins it against the corpus union:
+            # only matched store rows ever shuffle, in the same scan —
+            # no separate semi-join prune pass (round-3 fix: the prune
+            # re-ran the candidate DAG once per pruned table)
             return dedup.verify_pairs_jaccard(
                 candidates,
-                inc.prune_to_pair_members(all_texts, candidates),
-                signatures=inc.prune_to_pair_members(all_sigs, candidates),
+                all_texts,
+                signatures=all_sigs,
                 threshold=cfg.jaccard_threshold,
                 shingle_k=cfg.shingle_k,
             ).select("doc_a", "doc_b")
@@ -576,7 +582,7 @@ class DedupPipeline:
                 "07_substring_pairs",
                 lambda: suffix.verify_substring_pairs(
                     substr_cands,
-                    inc.prune_to_pair_members(all_texts, substr_cands),
+                    all_texts,
                     min_length=cfg.substring_min_len,
                 ).select("doc_a", "doc_b"),
                 resume,
