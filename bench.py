@@ -249,9 +249,10 @@ def _incremental_bench(corpus_path: str) -> dict:
     from courlan_spark.plans.session import get_session
     from courlan_spark.sources.pages import pages_view
 
-    spark = get_session(app_name="bench-incremental", cpus=CPUS)
+    inc_cpus = max(4, CPUS // 2)
+    spark = get_session(app_name="bench-incremental", cpus=inc_cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    _warm_workers(spark, CPUS)
+    _warm_workers(spark, inc_cpus)
     full = spark.read.parquet(corpus_path)
     cut = int(N_PAGES * 0.9)
     base_dir = tempfile.mkdtemp(prefix="bench_inc_base_")
@@ -277,7 +278,9 @@ def _incremental_bench(corpus_path: str) -> dict:
         return {
             "base_pages": cut,
             "delta_pages": n_delta,
+            "cpus": inc_cpus,
             "incremental_secs": round(inc_secs, 2),
+            "incremental_core_seconds": round(inc_secs * inc_cpus, 1),
             "delta_docs_per_sec": round(n_delta / inc_secs, 1),
             "cpu_probe_mops": _cpu_probe(),
             "dram_probe_gbs": _dram_probe(),
@@ -447,9 +450,16 @@ def main() -> None:
         ):
             incremental = _incremental_bench(corpus_path)
             incremental["full_rerun_secs"] = headline_run["secs"]
+            incremental["full_rerun_core_seconds"] = round(
+                headline_run["secs"] * CPUS, 1
+            )
             if incremental["incremental_secs"] > 0:
                 incremental["speedup_vs_full_rerun"] = round(
                     headline_run["secs"] / incremental["incremental_secs"], 2
+                )
+                incremental["cost_ratio_vs_full_rerun"] = round(
+                    incremental["full_rerun_core_seconds"]
+                    / incremental["incremental_core_seconds"], 2
                 )
 
         # host ceiling context: the same-box cpu and DRAM-bandwidth
