@@ -55,6 +55,12 @@ def parse_args(args: list[str] | None = None) -> argparse.Namespace:
     parser.add_argument("--shingle-k", type=int, default=9)
     parser.add_argument("--max-bucket-size", type=int, default=2000)
     parser.add_argument("--no-simhash", action="store_true")
+    parser.add_argument("--min-tokens", type=int, default=None,
+                        help="quality gate: drop docs with fewer tokens")
+    parser.add_argument("--max-tokens", type=int, default=None,
+                        help="quality gate: drop docs with more tokens")
+    parser.add_argument("--min-alpha-ratio", type=float, default=None,
+                        help="quality gate: drop docs below this alphabetic ratio")
     parser.add_argument("--no-substring", action="store_true")
     parser.add_argument(
         "--store-workdir", action="append", default=None,
@@ -92,6 +98,9 @@ def run(args: argparse.Namespace, spark=None) -> dict:
             with_simhash_stage=not args.no_simhash,
             with_substring_stage=not args.no_substring,
             snapshot_mode=args.snapshot_mode,
+            min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens,
+            min_alpha_ratio=args.min_alpha_ratio,
         )
         pipeline = DedupPipeline(spark, args.workdir, config)
         page_cols = pages.select("url", "warc_ts", "html", "text", "lang")

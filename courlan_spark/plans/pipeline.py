@@ -48,6 +48,15 @@ class DedupConfig:
     # 100 TB default: one text scan instead of three); False falls back
     # to the per-kernel operators (column-identical — test_fused_fingerprints)
     fused_fingerprints: bool = True
+    # optional pre-fingerprint corpus gate (training-data curation):
+    # docs outside [min_tokens, max_tokens] or below min_alpha_ratio
+    # leave the corpus before any fingerprint work; None disables each
+    # bound.  Kept rows are observed (no silent drops); the gate is
+    # per-row deterministic, so incremental runs stay equal to full
+    # re-runs with the same bounds.
+    min_tokens: int | None = None
+    max_tokens: int | None = None
+    min_alpha_ratio: float | None = None
     seed: int = 42
     # "all": every stage is a resumable parquet snapshot (durable runs,
     # the Iceberg-checkpoint analog).  "minimal": only multiply-consumed
@@ -184,6 +193,29 @@ class DedupPipeline:
         self.metrics.append(metric)
         return out
 
+    def _quality_condition(self):
+        "AND of the configured quality bounds, or None when unset."
+        from ..functions import text as T
+
+        cfg = self.config
+        conds = []
+        if cfg.min_tokens is not None or cfg.max_tokens is not None:
+            toks = T.token_count_col(F.col("text"))
+            if cfg.min_tokens is not None:
+                conds.append(toks >= cfg.min_tokens)
+            if cfg.max_tokens is not None:
+                conds.append(toks <= cfg.max_tokens)
+        if cfg.min_alpha_ratio is not None:
+            n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
+            safe = F.greatest(F.length(F.col("text")), F.lit(1)).cast("double")
+            conds.append((n_alpha / safe) >= F.lit(cfg.min_alpha_ratio))
+        if not conds:
+            return None
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        return cond
+
     def _canonical_frame(self, pages: DataFrame) -> DataFrame:
         cfg = self.config
         check_udf = make_check_url_udf(strict=cfg.strict, language=cfg.language)
@@ -232,6 +264,18 @@ class DedupPipeline:
             )
 
         url_unique = self._stage("02_url_dedup", build_url_dedup, resume, kind="persist")
+
+        # optional training-data quality gate (config bounds), applied
+        # identically in full and incremental modes — per-row
+        # deterministic, so the two stay provably equivalent
+        quality = self._quality_condition()
+        if quality is not None:
+            url_unique = self._stage(
+                "02b_quality_gate",
+                lambda: observed("quality_kept", url_unique.where(quality)),
+                resume,
+                kind="lazy",
+            )
 
         # ---- stage 3: exact text pair evidence (md5 hash groups) ----
         def build_text_pairs():
@@ -475,6 +519,18 @@ class DedupPipeline:
             ).select("doc_id", "norm_url", "domain", "warc_ts", "text", "lang", "n_copies")
 
         url_unique = self._stage("02_url_dedup", build_url_dedup, resume, kind="persist")
+
+        # optional training-data quality gate (config bounds), applied
+        # identically in full and incremental modes — per-row
+        # deterministic, so the two stay provably equivalent
+        quality = self._quality_condition()
+        if quality is not None:
+            url_unique = self._stage(
+                "02b_quality_gate",
+                lambda: observed("quality_kept", url_unique.where(quality)),
+                resume,
+                kind="lazy",
+            )
 
         # the delta's ONLY text scan: fused MinHash+SimHash+winnow+md5
         fingerprints = self._stage(

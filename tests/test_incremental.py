@@ -281,3 +281,23 @@ def test_empty_delta_keeps_store_assignments(spark):
     finally:
         shutil.rmtree(d_base, ignore_errors=True)
         shutil.rmtree(d_inc, ignore_errors=True)
+
+
+def test_incremental_equality_holds_with_quality_gate(spark):
+    "The per-row quality gate preserves base+delta == full-run equality."
+    full = generate_pages(spark, 800).cache()
+    dirs = [tempfile.mkdtemp(prefix=f"qinc_{i}_") for i in range(3)]
+    try:
+        cfg = DedupConfig(jaccard_threshold=0.6, min_tokens=80, min_alpha_ratio=0.5)
+        full_pipe = DedupPipeline(spark, dirs[0], cfg)
+        full_pipe.run(pages_view(full))
+        DedupPipeline(spark, dirs[1], cfg).run(pages_view(full.where("doc_id < 550")))
+        inc_pipe = DedupPipeline(spark, dirs[2], cfg)
+        inc_pipe.run_incremental(
+            pages_view(full.where("doc_id >= 550")),
+            FingerprintStore.from_workdir(spark, dirs[1]),
+        )
+        assert _assignments(inc_pipe) == _assignments(full_pipe)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

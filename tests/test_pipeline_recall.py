@@ -123,3 +123,22 @@ def test_deduped_docs_output(spark):
         assert sum(r["cluster_size"] for r in survivors) == assigns.count()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_quality_gate_filters_corpus(spark):
+    "min_tokens drops short docs before fingerprinting, with observed accounting."
+    full = generate_pages(spark, 400).cache()
+    wd_all, wd_gated = tempfile.mkdtemp(prefix="qg_a_"), tempfile.mkdtemp(prefix="qg_b_")
+    try:
+        base = DedupPipeline(spark, wd_all, DedupConfig(jaccard_threshold=0.6))
+        s_all = base.run(pages_view(full))
+        gated = DedupPipeline(
+            spark, wd_gated, DedupConfig(jaccard_threshold=0.6, min_tokens=120)
+        )
+        s_gated = gated.run(pages_view(full))
+        kept = s_gated["observed"]["quality_kept"]["rows"]
+        assert 0 < kept < s_all["n_output"]
+        assert s_gated["n_output"] == kept
+    finally:
+        shutil.rmtree(wd_all, ignore_errors=True)
+        shutil.rmtree(wd_gated, ignore_errors=True)
