@@ -118,3 +118,22 @@ def test_incremental_bucket_pairs_single_exchange(spark):
     physical = _plan(pairs)
     assert physical.count("Exchange") == 1
     assert "Window" in physical
+
+
+def test_fused_fingerprints_prunes_unused_page_columns(spark, tmp_path):
+    """Column pruning survives the fused pandas UDF: fingerprinting a
+    pages table reads only (url, warc_ts, text) from parquet — the
+    html binary column (the bulk of the bytes at web scale) never
+    leaves the scan."""
+    from courlan_spark.operators.fingerprints import fused_fingerprints
+    from courlan_spark.sources.pages import generate_pages, pages_view
+
+    path = str(tmp_path / "pages")
+    pages_view(generate_pages(spark, 100)).coalesce(1).write.parquet(path)
+    pages = spark.read.parquet(path)
+    docs = pages.select(
+        F.xxhash64("url", "warc_ts").alias("doc_id"), "text"
+    )
+    plan = _plan(fused_fingerprints(docs))
+    read_schema = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "html" not in read_schema and "text" in read_schema
