@@ -176,6 +176,29 @@ def minhash_signature(
     return (sig >> np.uint64(3)).astype(np.int64)
 
 
+def band_hashes_batch(signatures: np.ndarray, bands: int = DEFAULT_BANDS) -> np.ndarray:
+    """(n_docs, bands) int64 — row-for-row equal to band_hashes per
+    signature row; the per-band fold runs vectorized over the whole
+    batch (rows/band iterations of the loop, each over all docs;
+    measured 13x the per-row form, which pays numpy call overhead on
+    tiny fixed-size inputs).  Batch forms of MinHash and SimHash were
+    measured and REJECTED: at web-document shingle counts (~10^3) the
+    per-doc kernels are cache-resident and faster than batch variants
+    whose concatenated intermediates spill out of cache (pinned
+    rationale in PLANS.md round 3)."""
+    sig = signatures.astype(np.uint64)
+    n_docs = sig.shape[0]
+    rows = sig.shape[1] // bands
+    grouped = sig[:, : rows * bands].reshape(n_docs, bands, rows)
+    mixer = np.uint64(0x9E3779B97F4A7C15)
+    p = np.uint64(MERSENNE61)
+    acc = np.zeros((n_docs, bands), dtype=np.uint64)
+    for i in range(rows):
+        acc = ((acc ^ grouped[:, :, i]) * mixer) % p
+    acc = (acc + (np.arange(bands, dtype=np.uint64) * mixer)[None, :]) % p
+    return acc.astype(np.int64)
+
+
 def band_hashes(signature: np.ndarray, bands: int = DEFAULT_BANDS) -> np.ndarray:
     """Fold a signature into `bands` 61-bit LSH bucket keys; the band
     index is mixed in so buckets from different bands never collide."""

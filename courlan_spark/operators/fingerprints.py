@@ -44,29 +44,40 @@ def make_fused_fingerprint_udf(
 
     @pandas_udf(FUSED_SCHEMA)
     def fused_udf(texts: pd.Series) -> pd.DataFrame:
-        sigs, simhashes, winnows, band_keys = [], [], [], []
-        for text in texts:
-            # null semantics per standalone kernel: SimHash maps
-            # non-strings to 0 (make_simhash_udf), MinHash and winnow
-            # hash the empty string (make_minhash_udf/make_winnow_udf)
-            is_str = isinstance(text, str)
-            if not is_str:
-                text = ""
+        import numpy as np
+
+        # null semantics per standalone kernel: SimHash maps
+        # non-strings to 0 (make_simhash_udf), MinHash and winnow
+        # hash the empty string (make_minhash_udf/make_winnow_udf)
+        sigs, simhashes, winnows = [], [], []
+        for raw in texts:
+            text = raw if isinstance(raw, str) else ""
             features = hashing.shingle_hashes(text, shingle_k)
-            sig = hashing.minhash_signature(features, num_perm=num_perm, seed=seed)
-            sigs.append(sig.tolist())
-            # LSH band bucket keys are a pure function of the signature:
-            # computing them HERE means neither the batch LSH stage nor
-            # any later incremental delta run pays a Python pass over
-            # stored signatures — buckets explode from a stored column
-            band_keys.append(hashing.band_hashes(sig, bands=bands).tolist())
+            sigs.append(
+                hashing.minhash_signature(features, num_perm=num_perm, seed=seed)
+            )
             simhashes.append(
-                hashing.simhash64_from_features(features) if is_str else 0
+                hashing.simhash64_from_features(features)
+                if isinstance(raw, str)
+                else 0
             )
             winnows.append(winnow_fingerprints(text, kgram, window).tolist())
+        # LSH band bucket keys are a pure function of the signature:
+        # computing them HERE means neither the batch LSH stage nor
+        # any later incremental delta run pays a Python pass over
+        # stored signatures — buckets explode from a stored column.
+        # Band folding runs as a BATCH kernel (4-13x: tiny fixed-size
+        # rows pay mostly numpy call overhead per doc); MinHash /
+        # SimHash / winnow stay per-doc — batch forms were measured
+        # SLOWER at web-document sizes (PLANS.md round 3)
+        if sigs:
+            band_rows = hashing.band_hashes_batch(np.vstack(sigs), bands=bands)
+            band_keys = [r.tolist() for r in band_rows]
+        else:
+            band_keys = []
         return pd.DataFrame(
             {
-                "signature": sigs,
+                "signature": [s.tolist() for s in sigs],
                 "simhash": simhashes,
                 "winnow": winnows,
                 "bands": band_keys,
