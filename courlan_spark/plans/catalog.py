@@ -538,7 +538,13 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum, one shuffle on user_id shared by both window passes
     and the final aggregation).  Timestamps compare exactly
     (microsecond interval arithmetic, no float epoch math), so the
-    session boundaries are engine-independent."""
+    session boundaries are engine-independent.
+
+    Session bounds are emitted as epoch-microsecond bigints rather
+    than raw timestamps: a raw timestamp's hash depends on the
+    consuming harness's session timezone / pandas datetime unit
+    (round-3's only red CORRECTNESS cell), while an integer is
+    engine-neutral on every side."""
     from pyspark.sql import Window
 
     _views(spark, sf_dir, "events")
@@ -550,10 +556,27 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1),
     ).otherwise(F.lit(0))
     sessions = events.withColumn("session_no", F.sum(is_new).over(w))
-    return sessions.groupBy("user_id", "session_no").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+    # timestampdiff against an NTZ epoch literal is pure integer
+    # arithmetic — no session-timezone cast anywhere (the ts column is
+    # TIMESTAMP_NTZ, so unix_micros/cast-to-timestamp would shift by
+    # whatever timezone the *consuming* session happens to run in).
+    epoch_us = lambda c: F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {c})"
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("_start_ts"),
+            F.max("ts").alias("_end_ts"),
+        )
+        .select(
+            "user_id",
+            "session_no",
+            "n_events",
+            epoch_us("_start_ts").alias("session_start_us"),
+            epoch_us("_end_ts").alias("session_end_us"),
+        )
     )
 
 
@@ -1226,7 +1249,8 @@ s AS (
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
   FROM t)
 SELECT user_id, session_no, count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us
 FROM s GROUP BY user_id, session_no
 """
 ORACLES["q_simhash_fingerprints"] = _simhash_fingerprints_oracle()

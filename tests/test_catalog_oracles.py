@@ -85,22 +85,47 @@ def test_event_sessions_equal_native_session_window(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     ours = {
-        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
         for r in q_event_sessions(spark, sf_dir).collect()
     }
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     native = {
-        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
         for r in (
             events.groupBy(
                 "user_id", F.session_window("ts", "30 minutes").alias("sw")
             )
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.min("ts").alias("session_start"),
-                F.max("ts").alias("session_end"),
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00', min(ts))"
+                ).alias("session_start_us"),
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00', max(ts))"
+                ).alias("session_end_us"),
             )
-            .select("user_id", "session_start", "session_end", "n_events")
+            .select("user_id", "session_start_us", "session_end_us", "n_events")
         ).collect()
     }
     assert ours == native and len(ours) > 50
+
+
+def test_catalog_outputs_only_hash_stable_types(spark):
+    """Every catalog query must emit only engine-neutral column types
+    (string/bigint/int/double/boolean).  Raw timestamps or decimals
+    hash differently depending on the consuming harness's session
+    timezone / pandas datetime unit — round 3's only red CORRECTNESS
+    cell (q_event_sessions) was exactly this class of failure.
+    Schema-only: builds each DataFrame without executing it."""
+    import __spark_entry__ as entrymod
+
+    allowed = {"string", "bigint", "int", "double", "boolean"}
+    offenders = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        df = fn(spark, SF_DIR)
+        bad = {c: t for c, t in df.dtypes if t not in allowed}
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-hash-stable output columns: {offenders}"
