@@ -100,23 +100,20 @@ def robots_tables(robots: DataFrame) -> tuple[DataFrame, DataFrame]:
                 )
             yield pd.DataFrame(rows, columns=["host", "rules", "crawl_delay"])
 
+    # one row per host BEFORE parsing: duplicate host rows in the
+    # input (re-fetches of the same robots.txt) would otherwise fan
+    # out every link row per duplicate in crawlable_links' host
+    # equi-join.  The survivor is max(body) — a deterministic pick, so
+    # hosts whose re-fetches parsed to different rule lists give the
+    # same crawlable-links verdict on every run (dropDuplicates kept
+    # an arbitrary row; round-4 ADVICE fix) — and deduping pre-parse
+    # also parses each host's body once instead of once per fetch.
+    robots = robots.groupBy("host").agg(F.max("body").alias("body"))
     parsed = robots.mapInPandas(
         parse,
         schema="host string, rules array<struct<prefix:string,allow:boolean>>, "
         "crawl_delay double",
     )
-    # one parse per host on BOTH tables: duplicate host rows in the
-    # input (re-fetches of the same robots.txt) would otherwise fan
-    # out every link row per duplicate in crawlable_links' host
-    # equi-join, inflating downstream link counts (round-3 ADVICE fix)
-    rules = (
-        parsed.where(F.size("rules") > 0)
-        .select("host", "rules")
-        .dropDuplicates(["host"])
-    )
-    delays = (
-        parsed.where("crawl_delay IS NOT NULL")
-        .select("host", "crawl_delay")
-        .dropDuplicates(["host"])
-    )
+    rules = parsed.where(F.size("rules") > 0).select("host", "rules")
+    delays = parsed.where("crawl_delay IS NOT NULL").select("host", "crawl_delay")
     return rules, delays

@@ -280,10 +280,13 @@ def remove_duplicate_blocks(
     (an executor-OOM row at web scale, not a slow one).  The kept
     partners are the ``max_refs_per_doc`` smallest doc ids per dupe
     (deterministic; a window over the same key the collect aggregation
-    shuffles on, so the cap shares that exchange), and ``observation``
-    (optional pyspark Observation) records refs kept/dropped and the
-    number of affected docs — no silent truncation.  Docs whose refs
-    were dropped may under-strip; the accounting makes that auditable.
+    shuffles on, so the cap shares that exchange).  Accounting is
+    unconditional: refs kept/dropped and the number of affected docs
+    ride a pyspark Observation — the caller's ``observation`` when
+    given, else one created here and exposed as
+    ``result._refs_observation`` — so a bounded removal can never
+    truncate silently.  Docs whose refs were dropped may under-strip;
+    the accounting makes that auditable.
 
     Returns the input columns with ``text`` rewritten plus
     ``n_removed`` (characters dropped)."""
@@ -304,21 +307,29 @@ def remove_duplicate_blocks(
         max_bucket_size=max_bucket_size,
         min_shared_fps=1,
     )
+    refs_observation = observation
     if max_refs_per_doc is not None:
         ranked = pairs.withColumn(
             "_ref_rn",
             F.row_number().over(Window.partitionBy("doc_b").orderBy("doc_a")),
         )
-        if observation is not None:
-            over_cap = F.col("_ref_rn") > max_refs_per_doc
-            ranked = ranked.observe(
-                observation,
-                F.sum((~over_cap).cast("long")).alias("refs_kept"),
-                F.sum(over_cap.cast("long")).alias("refs_dropped"),
-                F.sum(
-                    (F.col("_ref_rn") == max_refs_per_doc + 1).cast("long")
-                ).alias("docs_with_dropped_refs"),
-            )
+        # accounting is unconditional — a bounded removal must never
+        # truncate silently: when the caller passes no Observation one
+        # is created here and exposed as `_refs_observation` on the
+        # returned DataFrame (readable after the first action)
+        if refs_observation is None:
+            from pyspark.sql import Observation
+
+            refs_observation = Observation("remove_blocks_refs")
+        over_cap = F.col("_ref_rn") > max_refs_per_doc
+        ranked = ranked.observe(
+            refs_observation,
+            F.sum((~over_cap).cast("long")).alias("refs_kept"),
+            F.sum(over_cap.cast("long")).alias("refs_dropped"),
+            F.sum(
+                (F.col("_ref_rn") == max_refs_per_doc + 1).cast("long")
+            ).alias("docs_with_dropped_refs"),
+        )
         pairs = ranked.where(F.col("_ref_rn") <= max_refs_per_doc).drop("_ref_rn")
     texts = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_rtext"))
     refs = (
@@ -345,11 +356,15 @@ def remove_duplicate_blocks(
         "_stripped", strip_udf(F.col(text_col), F.col("_refs"))
     )
     keep_cols = [c for c in docs.columns if c != text_col]
-    return out.select(
+    result = out.select(
         *keep_cols,
         F.col("_stripped.new_text").alias(text_col),
         F.col("_stripped.n_removed").alias("n_removed"),
     )
+    # surface the drop accounting even when the caller didn't ask: the
+    # attribute is the engine's no-silent-caps contract for this op
+    result._refs_observation = refs_observation
+    return result
 
 
 def partition_suffix_array_pass(

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 
 def parse_args(args: list[str] | None = None) -> argparse.Namespace:
@@ -102,6 +103,17 @@ def run(args: argparse.Namespace, spark=None) -> dict:
             max_tokens=args.max_tokens,
             min_alpha_ratio=args.min_alpha_ratio,
         )
+        if args.store_workdir and config.snapshot_mode == "minimal":
+            # an incremental run's workdir is the next chain link only
+            # if its delta-scoped 02_url_dedup/04_fingerprints snapshots
+            # exist — minimal mode skips them, and the gap would only
+            # surface at the NEXT run's FingerprintStore load
+            print(
+                "warning: --snapshot-mode minimal cannot serve as a "
+                "--store-workdir chain link; upgrading to 'all'",
+                file=sys.stderr,
+            )
+            config.snapshot_mode = "all"
         pipeline = DedupPipeline(spark, args.workdir, config)
         page_cols = pages.select("url", "warc_ts", "html", "text", "lang")
         if args.store_workdir:

@@ -85,6 +85,46 @@ class FingerprintStore:
     docs: DataFrame          # doc_id, norm_url, domain, warc_ts, text, lang
     fingerprints: DataFrame  # doc_id, signature, simhash, winnow, text_hash
     assignments: DataFrame   # doc_id, cluster_id
+    # the DedupConfig (as a dict) the store was built with, loaded from
+    # the workdir's config.json; None only for stores assembled by hand
+    config: dict | None = None
+
+    # fields that determine bucket/block keys and which docs enter the
+    # store — a delta run with different values would silently miss
+    # duplicates (keys disagree), so check_config raises instead
+    KEY_FIELDS = (
+        "num_perm", "shingle_k", "seed", "bands",
+        "min_tokens", "max_tokens", "min_alpha_ratio",
+    )
+
+    def check_config(self, cfg: "DedupConfig") -> None:
+        """Raise when ``cfg`` disagrees with the store's recorded
+        config on any key-affecting field.  A store without a recorded
+        config (built before config.json existed, or assembled by
+        hand) passes with no check — the caller owns the invariant."""
+        if self.config is None:
+            return
+        mismatches = {
+            k: (self.config.get(k), getattr(cfg, k))
+            for k in self.KEY_FIELDS
+            if self.config.get(k) != getattr(cfg, k)
+        }
+        if mismatches:
+            raise ValueError(
+                "incremental config disagrees with the fingerprint "
+                f"store's on key-affecting fields {mismatches} "
+                "(store value, run value) — band/block keys would not "
+                "line up and duplicates would be silently missed; "
+                "re-build the store or match its config"
+            )
+
+    @classmethod
+    def _load_config(cls, workdir: str) -> dict | None:
+        path = os.path.join(workdir, "config.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
 
     @classmethod
     def from_workdir(cls, spark: SparkSession, workdir: str) -> "FingerprintStore":
@@ -108,6 +148,7 @@ class FingerprintStore:
             docs=need("02_url_dedup"),
             fingerprints=fps,
             assignments=need("09_assignments").select("doc_id", "cluster_id"),
+            config=cls._load_config(workdir),
         )
 
     @classmethod
@@ -122,11 +163,28 @@ class FingerprintStore:
         if not workdirs:
             raise ValueError("at least one workdir required")
         stores = [cls.from_workdir(spark, w) for w in workdirs]
+        # chained batches must agree on key fields among themselves too
+        configs = [s.config for s in stores if s.config is not None]
+        for other in configs[1:]:
+            diff = {
+                k: (configs[0].get(k), other.get(k))
+                for k in cls.KEY_FIELDS
+                if configs[0].get(k) != other.get(k)
+            }
+            if diff:
+                raise ValueError(
+                    f"chained store workdirs disagree on key fields {diff}"
+                )
         docs, fps = stores[0].docs, stores[0].fingerprints
         for s in stores[1:]:
             docs = docs.unionByName(s.docs)
             fps = fps.unionByName(s.fingerprints)
-        return cls(docs=docs, fingerprints=fps, assignments=stores[-1].assignments)
+        return cls(
+            docs=docs,
+            fingerprints=fps,
+            assignments=stores[-1].assignments,
+            config=configs[0] if configs else None,
+        )
 
 
 def _snapshot_path(workdir: str, stage: str) -> str:
@@ -160,6 +218,25 @@ class DedupPipeline:
         self.metrics: list[dict] = []
         os.makedirs(workdir, exist_ok=True)
 
+    def _persist_config(self) -> None:
+        """Record the run's DedupConfig in the workdir so a later
+        incremental run can verify its own config against the store's
+        (a store built with different key-affecting fields would emit
+        silently wrong merged clusters — the band/block keys simply
+        would not line up)."""
+        with open(os.path.join(self.workdir, "config.json"), "w") as fh:
+            json.dump(
+                {k: v for k, v in vars(self.config).items()
+                 if not isinstance(v, dict)},
+                fh,
+            )
+
+    # snapshots a later incremental run scans selectively are written
+    # range-sorted by doc_id, so parquet footer min/max support file
+    # skipping for the candidate-id predicates the delta verify pushes
+    # (Iceberg sorted-write-order analog; see tables.write_snapshot)
+    _STAGE_ORDER = {"02_url_dedup": ["doc_id"], "04_fingerprints": ["doc_id"]}
+
     def _stage(self, name: str, build, resume: bool, kind: str = "snapshot") -> DataFrame:
         if self.config.snapshot_mode == "minimal" and kind != "snapshot":
             started = time.time()
@@ -180,7 +257,7 @@ class DedupPipeline:
             )
             return df
         df = build()
-        _write_snapshot(df, path)
+        _write_snapshot(df, path, order_by=self._STAGE_ORDER.get(name))
         out = _read_snapshot(self.spark, path)
         metric = {
             "stage": name,
@@ -235,6 +312,7 @@ class DedupPipeline:
 
     def run(self, pages: DataFrame, resume: bool = False) -> dict:
         cfg = self.config
+        self._persist_config()
 
         # free row-count metrics via observe(): recorded on the single
         # physical pass, no extra jobs (the north rule's per-stage
@@ -485,6 +563,8 @@ class DedupPipeline:
         cfg = self.config
         if not cfg.fused_fingerprints:
             raise ValueError("run_incremental requires fused_fingerprints=True")
+        store.check_config(cfg)
+        self._persist_config()
 
         from pyspark.sql import Observation
 
@@ -585,23 +665,34 @@ class DedupPipeline:
 
         candidates = self._stage("05_candidates", build_candidates, resume, kind="persist")
 
-        all_sigs = fingerprints.select("doc_id", "signature").unionByName(
-            store_fps.select("doc_id", "signature")
-        )
-        all_texts = url_unique.select("doc_id", "text").unionByName(
-            store.docs.select("doc_id", "text")
-        )
+        # verify inputs: the delta side unions with a store side PRUNED
+        # to candidate partners — a bounded id collect from the
+        # persisted pair set (no DAG re-run, unlike round 3's dropped
+        # semi-join prunes) pushed into the store scan as an In
+        # predicate, which the doc_id-sorted store snapshots turn into
+        # parquet file skipping.  The verify reads store rows
+        # proportional to the candidate set, not the corpus.
+        def pruned_union(delta_df, store_df, pair_frames):
+            return delta_df.unionByName(
+                inc.prune_store_by_pair_ids(store_df, pair_frames)
+            )
 
         def build_minhash_pairs():
             # the pair-payload attach inside verify explodes the (small)
-            # pair set and broadcast-joins it against the corpus union:
-            # only matched store rows ever shuffle, in the same scan —
-            # no separate semi-join prune pass (round-3 fix: the prune
-            # re-ran the candidate DAG once per pruned table)
+            # pair set and broadcast-joins it against the pruned union:
+            # only matched store rows ever shuffle, in the same scan
             return dedup.verify_pairs_jaccard(
                 candidates,
-                all_texts,
-                signatures=all_sigs,
+                pruned_union(
+                    url_unique.select("doc_id", "text"),
+                    store.docs.select("doc_id", "text"),
+                    [candidates],
+                ),
+                signatures=pruned_union(
+                    fingerprints.select("doc_id", "signature"),
+                    store_fps.select("doc_id", "signature"),
+                    [candidates],
+                ),
                 threshold=cfg.jaccard_threshold,
                 shingle_k=cfg.shingle_k,
             ).select("doc_a", "doc_b")
@@ -638,7 +729,11 @@ class DedupPipeline:
                 "07_substring_pairs",
                 lambda: suffix.verify_substring_pairs(
                     substr_cands,
-                    all_texts,
+                    pruned_union(
+                        url_unique.select("doc_id", "text"),
+                        store.docs.select("doc_id", "text"),
+                        [substr_cands],
+                    ),
                     min_length=cfg.substring_min_len,
                 ).select("doc_a", "doc_b"),
                 resume,

@@ -46,6 +46,11 @@ def get_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # keep scans right-sized for ~128MB parquet splits at scale
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # keep candidate-id In predicates exact in the parquet pushdown
+        # (default threshold 10 degrades them to a min/max range): the
+        # incremental verify pushes up to tens of thousands of doc ids
+        # into doc_id-sorted store snapshots for file skipping
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
         # local mode: the driver JVM hosts every task; N concurrent
         # tasks need N shares of sort/join memory or stages spill and
         # high core counts run *slower* than low ones (measured: the

@@ -301,3 +301,154 @@ def test_incremental_equality_holds_with_quality_gate(spark):
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_store_config_mismatch_raises(spark):
+    """A FingerprintStore built with different key-affecting config
+    (num_perm/shingle_k/seed/bands/quality bounds) must make
+    run_incremental fail loudly — mismatched band/block keys would
+    silently miss duplicates otherwise (round-4 ADVICE fix)."""
+    import pytest
+
+    full = generate_pages(spark, 300).cache()
+    base_dir = tempfile.mkdtemp(prefix="inc_cfgbase_")
+    run_dir = tempfile.mkdtemp(prefix="inc_cfgrun_")
+    try:
+        DedupPipeline(spark, base_dir, DedupConfig(num_perm=128)).run(
+            pages_view(full.where("doc_id < 200"))
+        )
+        store = FingerprintStore.from_workdir(spark, base_dir)
+        assert store.config is not None and store.config["num_perm"] == 128
+        bad = DedupPipeline(
+            spark, run_dir, DedupConfig(num_perm=64, bands=16)
+        )
+        with pytest.raises(ValueError, match="num_perm"):
+            bad.run_incremental(
+                pages_view(full.where("doc_id >= 200")), store
+            )
+        # matching config passes the gate (and completes)
+        ok = DedupPipeline(
+            spark, run_dir, DedupConfig(num_perm=128, snapshot_mode="minimal")
+        )
+        ok.run_incremental(pages_view(full.where("doc_id >= 200")), store)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def test_chained_workdirs_config_disagreement_raises(spark):
+    """from_workdirs must refuse to chain workdirs whose recorded
+    configs disagree on key fields."""
+    import json
+    import os
+
+    import pytest
+
+    full = generate_pages(spark, 200).cache()
+    d1 = tempfile.mkdtemp(prefix="inc_chain1_")
+    d2 = tempfile.mkdtemp(prefix="inc_chain2_")
+    try:
+        DedupPipeline(spark, d1, DedupConfig()).run(pages_view(full))
+        DedupPipeline(spark, d2, DedupConfig()).run(pages_view(full))
+        # corrupt the second workdir's recorded config
+        cfg_path = os.path.join(d2, "config.json")
+        cfg = json.load(open(cfg_path))
+        cfg["shingle_k"] = 5
+        json.dump(cfg, open(cfg_path, "w"))
+        with pytest.raises(ValueError, match="shingle_k"):
+            FingerprintStore.from_workdirs(spark, d1, d2)
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_store_snapshots_sorted_and_verify_scan_prunes_files(spark):
+    """Round-4 store-scan pruning: (1) the store's 02_url_dedup /
+    04_fingerprints snapshots are written range-sorted by doc_id, so
+    every parquet file covers a disjoint id range (footer min/max
+    checked via pyarrow); (2) prune_store_by_pair_ids pushes the
+    candidate-id In predicate into the store scan (PushedFilters);
+    (3) under that predicate only the files whose footer range
+    overlaps the candidate ids need reading — a strict subset for a
+    small delta."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    full = generate_pages(spark, 2000).cache()
+    base_dir = tempfile.mkdtemp(prefix="inc_prune_")
+    # at scale AQE sizes the ranged write's files by bytes (~64MB
+    # advisory), which a 2000-doc corpus fits in one of; shrink the
+    # advisory so the toy store still splits into several ranged files
+    keys = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        # parallelismFirst makes AQE coalesce down to minPartitionSize
+        # (1MB default), not the advisory — shrink both
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16384",
+    }
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        DedupPipeline(spark, base_dir, DedupConfig(), count_rows=False).run(
+            pages_view(full)
+        )
+
+        for stage in ("02_url_dedup", "04_fingerprints"):
+            parts = sorted(
+                glob.glob(os.path.join(base_dir, stage, "part-*.parquet"))
+            )
+            assert len(parts) >= 4, f"{stage}: want multiple files"
+            ranges = []
+            for p in parts:
+                md = pq.ParquetFile(p).metadata
+                idx = md.schema.names.index("doc_id")
+                lo = min(
+                    md.row_group(i).column(idx).statistics.min
+                    for i in range(md.num_row_groups)
+                )
+                hi = max(
+                    md.row_group(i).column(idx).statistics.max
+                    for i in range(md.num_row_groups)
+                )
+                ranges.append((lo, hi))
+            ranges.sort()
+            for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+                assert hi_prev < lo_next, f"{stage}: overlapping file ranges"
+
+        # a small delta's candidate set touches few store partners
+        store = FingerprintStore.from_workdir(spark, base_dir)
+        pairs = spark.createDataFrame(
+            [(1990, 3), (1991, 7), (1995, 11)], "doc_a long, doc_b long"
+        )
+        pruned = inc.prune_store_by_pair_ids(store.docs, [pairs])
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "In(doc_id" in plan
+        got = {r["doc_id"] for r in pruned.select("doc_id").collect()}
+        assert got <= {1990, 1991, 1995, 3, 7, 11}
+
+        # file-skipping evidence: candidate ids overlap a strict
+        # subset of the sorted store files
+        parts = sorted(
+            glob.glob(os.path.join(base_dir, "02_url_dedup", "part-*.parquet"))
+        )
+        cand_ids = {1990, 1991, 1995, 3, 7, 11}
+        overlapping = 0
+        for p in parts:
+            md = pq.ParquetFile(p).metadata
+            idx = md.schema.names.index("doc_id")
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            if any(lo <= c <= hi for c in cand_ids):
+                overlapping += 1
+        assert 0 < overlapping < len(parts)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -151,3 +151,26 @@ def test_html_text_udf(spark):
     rows = df.select(udf("html").alias("text")).collect()
     assert rows[0]["text"] == "Hello & bye"
     assert rows[1]["text"] == ""
+
+
+def test_robots_refetch_conflicting_bodies_pick_deterministic_survivor(spark):
+    """Re-fetches of a host's robots.txt that parsed to DIFFERENT rule
+    lists must yield the same verdict on every run: the survivor is
+    max(body) per host, not whichever row dropDuplicates kept
+    (round-4 ADVICE fix)."""
+    body_a = "User-agent: *\nDisallow: /private/\n"
+    body_b = "User-agent: *\nDisallow: /blocked/\n"
+    expected_body = max(body_a, body_b)
+    for order in ([body_a, body_b], [body_b, body_a]):
+        robots = spark.createDataFrame(
+            [("https://example.org", b) for b in order],
+            "host string, body string",
+        )
+        rules, _ = robots_tables(robots)
+        rows = rules.collect()
+        assert len(rows) == 1
+        prefixes = [r["prefix"] for r in rows[0]["rules"]]
+        expected_prefix = (
+            "/private/" if expected_body == body_a else "/blocked/"
+        )
+        assert prefixes == [expected_prefix]

@@ -434,3 +434,28 @@ def test_keep_representatives(spark):
         for r in dedup.keep_representatives(docs, assignments).collect()
     }
     assert rows == {1: ("a", 2), 3: ("c", 1), 9: ("d", 1)}
+
+
+def test_remove_duplicate_blocks_default_accounting_is_unconditional(spark):
+    """Callers that pass no Observation still get the dropped-ref
+    accounting: the default cap attaches its own Observation, exposed
+    as `_refs_observation` on the result (round-4 ADVICE fix — a
+    bounded removal must never truncate silently)."""
+    from courlan_spark.operators.suffix import remove_duplicate_blocks
+
+    block = (
+        "this is one very long boilerplate navigation footer that sites "
+        "repeat verbatim on every single page they serve"
+    )
+    n = 30
+    docs = spark.createDataFrame(
+        [(i, f"unique lead {i} words. " + block) for i in range(n)],
+        "doc_id long, text string",
+    )
+    result = remove_duplicate_blocks(docs, max_refs_per_doc=4)
+    result.collect()
+    obs = result._refs_observation
+    assert obs is not None
+    metrics = dict(obs.get)
+    assert metrics["refs_kept"] == sum(min(i, 4) for i in range(n))
+    assert metrics["refs_dropped"] == n * (n - 1) // 2 - metrics["refs_kept"]
