@@ -133,7 +133,7 @@ _THIRD_LEVEL = (
     + [f"lib.{s}.us" for s in _US_STATES]
 )
 
-PUBLIC_SUFFIXES = frozenset(
+_EMBEDDED_SUFFIXES = frozenset(
     _GENERIC_TLDS + _COUNTRY_TLDS + _IDN_TLDS + _SECOND_LEVEL + _THIRD_LEVEL
 )
 
@@ -141,7 +141,7 @@ PUBLIC_SUFFIXES = frozenset(
 # EVERY direct child of the parent is itself a public suffix, so the
 # registrable domain sits one label deeper.  These are the suffixes a
 # fixed whitelist structurally cannot enumerate (round-2 VERDICT gap).
-WILDCARD_SUFFIX_PARENTS = frozenset(
+_EMBEDDED_WILDCARD_PARENTS = frozenset(
     """
     bd ck er fk jm kh mm np pg ye
     sch.uk
@@ -152,7 +152,7 @@ WILDCARD_SUFFIX_PARENTS = frozenset(
 
 # Exception rules (`!<host>` in the upstream PSL): these hosts are
 # REGISTRABLE even though a wildcard rule would make them suffixes.
-PSL_EXCEPTIONS = frozenset(
+_EMBEDDED_EXCEPTIONS = frozenset(
     """
     www.ck
     city.kawasaki.jp city.kitakyushu.jp city.kobe.jp city.nagoya.jp
@@ -160,9 +160,27 @@ PSL_EXCEPTIONS = frozenset(
     """.split()
 )
 
-_MAX_SUFFIX_LABELS = 3
-_MAX_WILDCARD_PARENT_LABELS = 2
-_MAX_EXCEPTION_LABELS = 3
+# When tools/gen_psl.py has been run against the upstream
+# public_suffix_list.dat, the generated module carries the COMPLETE
+# ICANN section and replaces the embedded practical subset — the
+# lookup algorithm below is rule-form-complete either way (explicit /
+# wildcard / exception), only the table differs.
+try:  # pragma: no cover - exercised only where the data was generated
+    from .psl_data import (
+        PSL_EXCEPTIONS,
+        PUBLIC_SUFFIXES,
+        WILDCARD_SUFFIX_PARENTS,
+    )
+except ImportError:
+    PUBLIC_SUFFIXES = _EMBEDDED_SUFFIXES
+    WILDCARD_SUFFIX_PARENTS = _EMBEDDED_WILDCARD_PARENTS
+    PSL_EXCEPTIONS = _EMBEDDED_EXCEPTIONS
+
+_MAX_SUFFIX_LABELS = max(s.count(".") + 1 for s in PUBLIC_SUFFIXES)
+_MAX_WILDCARD_PARENT_LABELS = max(
+    s.count(".") + 1 for s in WILDCARD_SUFFIX_PARENTS
+)
+_MAX_EXCEPTION_LABELS = max(s.count(".") + 1 for s in PSL_EXCEPTIONS)
 
 
 def _suffix_length(labels: list[str]) -> int:
