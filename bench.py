@@ -390,15 +390,20 @@ def _incremental_main(out_path: str, corpus_path: str) -> None:
     full = spark.read.parquet(corpus_path)
     base_dir = tempfile.mkdtemp(prefix="bench_inc_base_")
     tmp_dirs = [base_dir]
+    # BOTH legs run store-producing (snapshot_mode="all"): a daily
+    # ingest's output must be the next batch's --store-workdir chain
+    # link (the CLI enforces exactly this), so the fair comparison is
+    # full-rerun-that-rewrites-corpus-scale-snapshots vs
+    # delta-run-that-writes-delta-scale-snapshots — which is also the
+    # real 100 TB asymmetry, not an artifact of skipping durability on
+    # one side only
     cfg_kwargs = {"jaccard_threshold": 0.6}
 
     def run_full() -> list[dict]:
         workdir = tempfile.mkdtemp(prefix="bench_inc_full_")
         tmp_dirs.append(workdir)
         pipe = DedupPipeline(
-            spark, workdir,
-            DedupConfig(snapshot_mode="minimal", **cfg_kwargs),
-            count_rows=False,
+            spark, workdir, DedupConfig(**cfg_kwargs), count_rows=False
         )
         pipe.run(pages_view(full))
         return pipe.metrics
@@ -407,9 +412,7 @@ def _incremental_main(out_path: str, corpus_path: str) -> None:
         workdir = tempfile.mkdtemp(prefix="bench_inc_run_")
         tmp_dirs.append(workdir)
         pipe = DedupPipeline(
-            session, workdir,
-            DedupConfig(snapshot_mode="minimal", **cfg_kwargs),
-            count_rows=False,
+            session, workdir, DedupConfig(**cfg_kwargs), count_rows=False
         )
         pipe.run_incremental(
             pages_view(full.where(F.col("doc_id") >= cut)), store

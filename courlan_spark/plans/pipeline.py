@@ -672,26 +672,23 @@ class DedupPipeline:
         # predicate, which the doc_id-sorted store snapshots turn into
         # parquet file skipping.  The verify reads store rows
         # proportional to the candidate set, not the corpus.
-        def pruned_union(delta_df, store_df, pair_frames):
-            return delta_df.unionByName(
-                inc.prune_store_by_pair_ids(store_df, pair_frames)
-            )
-
         def build_minhash_pairs():
             # the pair-payload attach inside verify explodes the (small)
             # pair set and broadcast-joins it against the pruned union:
-            # only matched store rows ever shuffle, in the same scan
+            # only matched store rows ever shuffle, in the same scan.
+            # One bounded id collect serves both pruned store scans.
+            cand_ids = inc.collect_pair_ids([candidates])
             return dedup.verify_pairs_jaccard(
                 candidates,
-                pruned_union(
-                    url_unique.select("doc_id", "text"),
-                    store.docs.select("doc_id", "text"),
-                    [candidates],
+                url_unique.select("doc_id", "text").unionByName(
+                    inc.prune_store_by_ids(
+                        store.docs.select("doc_id", "text"), cand_ids
+                    )
                 ),
-                signatures=pruned_union(
-                    fingerprints.select("doc_id", "signature"),
-                    store_fps.select("doc_id", "signature"),
-                    [candidates],
+                signatures=fingerprints.select("doc_id", "signature").unionByName(
+                    inc.prune_store_by_ids(
+                        store_fps.select("doc_id", "signature"), cand_ids
+                    )
                 ),
                 threshold=cfg.jaccard_threshold,
                 shingle_k=cfg.shingle_k,
@@ -729,10 +726,10 @@ class DedupPipeline:
                 "07_substring_pairs",
                 lambda: suffix.verify_substring_pairs(
                     substr_cands,
-                    pruned_union(
-                        url_unique.select("doc_id", "text"),
-                        store.docs.select("doc_id", "text"),
-                        [substr_cands],
+                    url_unique.select("doc_id", "text").unionByName(
+                        inc.prune_store_by_pair_ids(
+                            store.docs.select("doc_id", "text"), [substr_cands]
+                        )
                     ),
                     min_length=cfg.substring_min_len,
                 ).select("doc_a", "doc_b"),

@@ -48,9 +48,14 @@ def get_session(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # keep candidate-id In predicates exact in the parquet pushdown
         # (default threshold 10 degrades them to a min/max range): the
-        # incremental verify pushes up to tens of thousands of doc ids
-        # into doc_id-sorted store snapshots for file skipping
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
+        # incremental verify pushes candidate doc ids into doc_id-sorted
+        # store snapshots for file skipping.  Bounded at 1000 — parquet
+        # expands a pushed In into a right-deep OR chain of eq() leaves,
+        # and a ~50k-value chain overflows the executor stack (measured:
+        # StackOverflowError in every scan task); past the bound Spark
+        # pushes the min/max range instead and the InSet row filter
+        # still drops non-partner rows before any text moves
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
         # local mode: the driver JVM hosts every task; N concurrent
         # tasks need N shares of sort/join memory or stages spill and
         # high core counts run *slower* than low ones (measured: the

@@ -452,3 +452,92 @@ def test_store_snapshots_sorted_and_verify_scan_prunes_files(spark):
             else:
                 spark.conf.set(k, v)
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def test_prune_with_large_id_set_executes(spark):
+    """A candidate set past the parquet In-pushdown bound must not
+    blow the executor stack (a pushed In expands to a right-deep OR
+    chain of eq() leaves in parquet; ~50k values overflowed at 120k
+    pages): past the bound the scan falls back to min/max range
+    pushdown and the InSet row filter, which must simply execute."""
+    import os
+
+    docs = spark.range(0, 30000).selectExpr(
+        "id as doc_id", "concat('text-', id) as text"
+    )
+    path = tempfile.mkdtemp(prefix="inc_bigin_") + "/docs"
+    try:
+        from courlan_spark.sources.tables import write_snapshot
+
+        write_snapshot(docs, path, order_by=["doc_id"])
+        stored = spark.read.parquet(path)
+        pairs = spark.range(0, 20000).selectExpr(
+            "id as doc_a", "id + 30000 as doc_b"
+        )
+        pruned = inc.prune_store_by_pair_ids(stored, [pairs])
+        assert pruned.count() == 20000
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_bounded_cc_matches_distributed(spark):
+    """connected_components_bounded must produce exactly the
+    distributed algorithm's (node, component=min-id) labels — on a
+    random graph via the local fast path, and via the fallback when
+    the edge count exceeds the bound."""
+    import random
+
+    from courlan_spark.operators.cc import (
+        connected_components,
+        connected_components_bounded,
+    )
+
+    rng = random.Random(7)
+    edge_list = [
+        (rng.randrange(500), rng.randrange(500)) for _ in range(800)
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    expected = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components_bounded(edges).collect()
+    }
+    fallback = {
+        (r["node"], r["component"])
+        for r in connected_components_bounded(
+            edges, max_local_edges=10
+        ).collect()
+    }
+    assert local == expected == fallback and len(expected) > 100
+
+
+def test_interval_predicate_over_approximates_and_bounds_size():
+    """Past the exact-In limit the prune renders ≤256 BETWEEN ranges
+    that cover every id (over-approximation is fine — the verify join
+    is exact) with a pushdown-safe predicate size."""
+    from courlan_spark.operators.incremental import (
+        _MAX_INTERVALS,
+        _interval_predicate,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    ids = sorted(rng.sample(range(1_000_000), 20_000))
+    pred = _interval_predicate(ids, "doc_id")
+    n_ranges = pred.count("BETWEEN")
+    assert 1 <= n_ranges <= _MAX_INTERVALS
+    # parse the ranges back and check coverage
+    import re
+
+    ranges = [
+        (int(a), int(b))
+        for a, b in re.findall(r"BETWEEN (\d+) AND (\d+)", pred)
+    ]
+    assert all(any(lo <= i <= hi for lo, hi in ranges) for i in ids[::97])
+    # clustered ids yield few tight ranges, excluding most of the space
+    tight = _interval_predicate(list(range(100, 200)), "doc_id")
+    assert tight == "(doc_id BETWEEN 100 AND 199)"
