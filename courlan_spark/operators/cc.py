@@ -140,15 +140,22 @@ def connected_components_bounded(
     iterate over anyway, and the IVF-style driver bound keeps memory
     deterministic (~16 bytes/edge).  Labels are identical by
     construction: component = min node id, the distributed contract.
+
+    The edge frame is localCheckpoint-ed BEFORE the limited collect:
+    CollectLimit executes as scale-up jobs (1 partition, then 4, ...),
+    which would re-run an unpersisted upstream verify DAG once per
+    attempt; the checkpoint materializes it exactly once (the same
+    first step the distributed algorithm takes), and any observe()
+    metrics riding the edges fire complete on that checkpoint job.
     """
-    rows = (
+    edges_ck = (
         edges.selectExpr("cast(src as long) src", "cast(dst as long) dst")
         .where(F.col("src") != F.col("dst"))
-        .limit(max_local_edges + 1)
-        .collect()
+        .localCheckpoint()
     )
+    rows = edges_ck.limit(max_local_edges + 1).collect()
     if len(rows) > max_local_edges:
-        return connected_components(edges, max_iterations=max_iterations)
+        return connected_components(edges_ck, max_iterations=max_iterations)
 
     parent: dict[int, int] = {}
 
