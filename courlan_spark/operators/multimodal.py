@@ -1,12 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride as `binary` columns with a metadata struct;
-decode/feature stages are Arrow-batched mapInPandas passes.  The
-actual codecs are not available in this container, so the decode
-kernel is a deterministic stub (clearly marked); the Spark-side
-contract — schema, batch shape, partition sizing — is real and
-tested, and a production deployment swaps `_decode_stub` for a
-Pillow/ffmpeg-backed kernel with no plan changes.
+decode/feature stages are Arrow-batched mapInPandas passes.
+
+Since round 4 the decode path is REAL for uncompressed containers —
+24-bit BMP pixels and 8/16-bit PCM WAV samples parse with pure numpy
+(operators/codecs.py: header walk, padded-row/chunk layout, measured
+per-channel / time-slice statistics as the feature vector, true
+nearest-neighbor resize).  Compressed formats (JPEG/PNG/MP3/MP4) have
+no codec library in this container and route to the clearly-marked
+deterministic stubs below; a production deployment swaps the stubs
+for Pillow/ffmpeg kernels with no plan changes — schema, batch shape
+and partition sizing are identical either way.
 """
 
 from __future__ import annotations
@@ -17,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import codecs
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "width int, height int, duration_ms int"
@@ -26,11 +33,26 @@ FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, content_hash string, 
 
 
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
-    """STUB: deterministic fake 'feature vector' from payload bytes.
-    A real deployment replaces this with an image/audio decoder; the
-    surrounding plan (mapInPandas, Arrow batches, schema) is final."""
+    """STUB: deterministic fake 'feature vector' from payload bytes —
+    the fallback for COMPRESSED formats only (no Pillow/ffmpeg in this
+    container).  A real deployment replaces this with the codec-backed
+    kernel; the surrounding plan (mapInPandas, Arrow batches, schema)
+    is final."""
     digest = hashlib.blake2b(payload or b"", digest_size=32).digest()
     return [b / 255.0 for b in digest[:8]]
+
+
+def _decode_features(payload: bytes, kind: str) -> list[float]:
+    """Feature vector for one payload: REAL decode + statistics for
+    BMP/WAV (codecs.py), stub for everything else."""
+    try:
+        if codecs.is_bmp(payload):
+            return codecs.image_features(codecs.decode_bmp(payload))
+        if codecs.is_wav(payload):
+            return codecs.audio_features(*codecs.decode_wav(payload))
+    except codecs.UnsupportedMediaError:
+        pass  # unusual profile of a known container: stub fallback
+    return _decode_stub(payload, kind)
 
 
 def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -39,7 +61,9 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
     def run(iterator):
         for pdf in iterator:
             features = [
-                _decode_stub(p if isinstance(p, (bytes, bytearray)) else b"", k)
+                _decode_features(
+                    p if isinstance(p, (bytes, bytearray)) else b"", k
+                )
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
@@ -65,12 +89,26 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
 
 def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
     """STUB: deterministic fake 'resized' payload (truncated digest of
-    payload + target box).  A real deployment decodes, resizes with
-    Pillow/libvips, and re-encodes; schema and batch shape are final."""
+    payload + target box) — fallback for COMPRESSED formats only.  A
+    real deployment decodes, resizes with Pillow/libvips, and
+    re-encodes; schema and batch shape are final."""
     digest = hashlib.blake2b(
         (payload or b"") + f"{width}x{height}".encode(), digest_size=64
     ).digest()
     return digest
+
+
+def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """REAL decode -> nearest-neighbor resize -> re-encode for BMP
+    payloads (pure numpy, codecs.py); stub for compressed formats."""
+    try:
+        if codecs.is_bmp(payload):
+            return codecs.encode_bmp(
+                codecs.resize_nearest(codecs.decode_bmp(payload), width, height)
+            )
+    except codecs.UnsupportedMediaError:
+        pass
+    return _resize_stub(payload, width, height)
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -88,7 +126,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             ):
                 raw = p if isinstance(p, (bytes, bytearray)) else b""
                 if k == "image":
-                    payloads.append(_resize_stub(raw, width, height))
+                    payloads.append(_resize_payload(raw, width, height))
                     widths.append(width)
                     heights.append(height)
                 else:
