@@ -10,7 +10,7 @@ Prints ONE JSON line:
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_BENCH_PAGES (default 120000),
-     SPARK_GRAFT_BENCH_REPEATS (default 4 interleaved pairs),
+     SPARK_GRAFT_BENCH_REPEATS (default 3 interleaved pairs),
      SPARK_GRAFT_SCALING_PAGES (default 1.5x BENCH_PAGES — the
      scaling legs run a larger corpus so the ratio reads the
      work-dominated regime, not the per-stage scheduling floor),
@@ -523,7 +523,7 @@ def main() -> None:
     # are skipped when the mandatory part already consumed the budget,
     # so a slow/contended window degrades the report instead of
     # risking the whole JSON against an external timeout
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1400"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from courlan_spark.plans.session import get_session
@@ -570,12 +570,13 @@ def main() -> None:
         # scaling efficiency is the median of the per-adjacent-pair
         # ratios -- both sides of a pair see similar host conditions.
         # All runs, load averages, and CPU probes are recorded.
-        # 4 pairs at the 1.5x scaling corpus (round 4; was 3 pairs at
-        # the headline corpus): longer runs average out contention
-        # bursts, the median absorbs one bad pair, and the probe gates
-        # + top-up handle the rest — r3's record missed the >=0.8 gate
-        # (0.773) on exactly one bad pair of three short ones
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
+        # 3 pairs at the 1.5x scaling corpus (round 4; previously 3
+        # short pairs at the headline corpus): longer runs average out
+        # contention bursts (r4 records: 0.908-1.055 per pair across
+        # two heavily-contended windows), the median absorbs one bad
+        # pair, and the probe gates + top-up handle the rest — r3's
+        # record missed the >=0.8 gate (0.773) on one bad short pair
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
         def median_run(runs: list[dict]) -> dict:
             return sorted(runs, key=lambda r: r["secs"])[len(runs) // 2]
