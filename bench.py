@@ -1,11 +1,22 @@
 """Benchmark harness: end-to-end dedup throughput + scaling efficiency
 + headline catalog queries.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (<= _MAX_RESULT_LINE chars — the driver
+parses the result from a 2000-character stdout tail, and round 4's
+full-detail line outgrew it, orphaning the round's entire perf
+record):
   {"metric": "e2e_dedup_secs", "value": <pipeline seconds at
    local[SPARK_GRAFT_CPUS]>, "unit": "sec", "queries": {name: sec,
-   ...}, "sf": <sf>, ...extra keys: docs_per_sec, scaling{low,high,
-   efficiency}, recall}
+   ...}, "sf": <sf>, docs_per_sec, recall, precision,
+   scaling{cpus_low, cpus_high, secs_*, pair_efficiencies,
+   efficiency}, incremental{incremental_secs, full_rerun_secs,
+   speedup_vs_full_rerun, right_sizing}, details_file}
+
+The FULL result (per-stage breakdowns, every run's probes,
+host_ceilings, skew detail) is written to the sidecar file named by
+`details_file` (BENCH_DETAILS.json next to this script).
+tools/check_record.py replays the driver's tail-parse contract;
+tests/test_bench_record.py pins it.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
@@ -76,6 +87,113 @@ SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
 SCALING_PAGES = int(
     os.environ.get("SPARK_GRAFT_SCALING_PAGES", str(int(N_PAGES * 1.5)))
 )
+
+# Hard ceiling for the printed result line.  The driver records only
+# the last 2000 characters of stdout and parses the result JSON out of
+# that tail; BENCH_r04 was lost (`parsed: null`) because the line grew
+# to ~3.4k chars and the tail cut off its front.  1800 leaves margin
+# for a trailing newline and any stray console bytes.
+_MAX_RESULT_LINE = 1800
+DETAILS_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+)
+
+
+def compact_result(result: dict, details_file: str) -> dict:
+    """Project the full result dict down to the summary the driver's
+    2000-char tail can always carry: headline + recall + the scaling
+    gate + the incremental gate.  Everything else lives in the sidecar
+    named by details_file."""
+
+    def pick(src: dict | None, keys: list[str]) -> dict | None:
+        if not isinstance(src, dict):
+            return src
+        return {k: src[k] for k in keys if k in src}
+
+    out = {
+        k: result.get(k)
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "pages",
+            "cpus", "docs_per_sec", "recall", "precision",
+        )
+    }
+    out["scaling"] = pick(
+        result.get("scaling"),
+        [
+            "cpus_low", "cpus_high", "pages", "secs_low", "secs_high",
+            "docs_per_sec_low", "docs_per_sec_high",
+            "pair_efficiencies", "efficiency_all_pairs",
+            "uncontended_pair_efficiencies", "efficiency_uncontended",
+            "efficiency",
+        ],
+    )
+    inc = result.get("incremental")
+    out["incremental"] = pick(
+        inc,
+        [
+            "error", "base_pages", "delta_pages", "cpus",
+            "incremental_secs", "full_rerun_secs",
+            "speedup_vs_full_rerun", "delta_docs_per_sec",
+            "pair_speedups",
+        ],
+    )
+    if isinstance(inc, dict) and isinstance(inc.get("right_sizing"), dict):
+        out["incremental"]["right_sizing"] = pick(
+            inc["right_sizing"],
+            [
+                "delta_secs_at_half_cores", "half_cores",
+                "delta_secs_at_full_cores", "full_cores",
+                "shuffle_partitions_delta",
+            ],
+        )
+    out["skew"] = pick(
+        result.get("skew"),
+        [
+            "pages", "exact_unsalted_secs", "exact_salted_secs",
+            "lsh_capped_candidates_secs", "lsh_dropped_buckets",
+            "lsh_dropped_rows",
+        ],
+    )
+    out["details_file"] = details_file
+    return out
+
+
+def emit_result(result: dict, details_file: str = DETAILS_FILE) -> str:
+    """Write the full result to the sidecar, return the compact line.
+
+    If the compact form somehow exceeds _MAX_RESULT_LINE (it sits near
+    ~1,100 chars in a normal run), optional sections are dropped in a
+    fixed order — never the scaling or incremental gate numbers — and
+    the final length is asserted: a silently-too-long line cost round
+    4 its whole official record."""
+    try:
+        with open(details_file, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError as exc:
+        details_file = f"unwritable: {exc}"[:120]
+    compact = compact_result(result, details_file)
+    line = json.dumps(compact)
+    for victim in (
+        "skew", "queries",
+        ("incremental", "pair_speedups"),
+        ("scaling", "uncontended_pair_efficiencies"),
+        ("scaling", "pair_efficiencies"),
+    ):
+        if len(line) <= _MAX_RESULT_LINE:
+            break
+        if isinstance(victim, tuple):
+            sect = compact.get(victim[0])
+            if isinstance(sect, dict):
+                sect.pop(victim[1], None)
+        else:
+            compact.pop(victim, None)
+        line = json.dumps(compact)
+    assert len(line) <= _MAX_RESULT_LINE, (
+        f"result line {len(line)} chars > {_MAX_RESULT_LINE}: the "
+        "driver's 2000-char tail would truncate it (BENCH_r04 lesson)"
+    )
+    return line
+
 
 HEADLINE_QUERIES = [
     "q_url_canonical_dedup",
@@ -765,7 +883,7 @@ def main() -> None:
             "incremental": incremental,
             "host_ceilings": host,
         }
-        print(json.dumps(result))
+        print(emit_result(result))
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
 

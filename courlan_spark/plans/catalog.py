@@ -544,11 +544,29 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     than raw timestamps: a raw timestamp's hash depends on the
     consuming harness's session timezone / pandas datetime unit
     (round-3's only red CORRECTNESS cell), while an integer is
-    engine-neutral on every side."""
+    engine-neutral on every side.
+
+    The micros expression DISPATCHES ON THE TYPE THE CONSUMING SESSION
+    ACTUALLY READ (round-4's red cell, the failure mode round 4's fix
+    left open): the parquet column is physically timestamp[us] with no
+    timezone, but whether Spark surfaces it as TIMESTAMP_NTZ or
+    TIMESTAMP (LTZ) depends on the session's
+    spark.sql.parquet.inferTimestampNTZ.enabled / spark.sql.timestampType
+    config.  Against an NTZ read, `timestampdiff(MICROSECOND,
+    TIMESTAMP_NTZ epoch, ts)` is pure integer arithmetic; against an
+    LTZ read the same NTZ literal coerces through the SESSION TIMEZONE
+    and shifts every bound by the tz offset — rows match, hash doesn't.
+    For LTZ the tz-independent form is `unix_micros(ts)` (micros since
+    the UTC epoch of the instant, which for this column is the raw
+    stored value).  Both forms yield the same integers for the same
+    underlying micros; tests/test_event_sessions_types.py pins equality
+    under both read configs and a non-UTC session timezone."""
     from pyspark.sql import Window
+    from pyspark.sql.types import TimestampNTZType
 
     _views(spark, sf_dir, "events")
     events = spark.table("events")
+    ts_is_ntz = isinstance(events.schema["ts"].dataType, TimestampNTZType)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_new = F.when(
@@ -556,13 +574,17 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1),
     ).otherwise(F.lit(0))
     sessions = events.withColumn("session_no", F.sum(is_new).over(w))
-    # timestampdiff against an NTZ epoch literal is pure integer
-    # arithmetic — no session-timezone cast anywhere (the ts column is
-    # TIMESTAMP_NTZ, so unix_micros/cast-to-timestamp would shift by
-    # whatever timezone the *consuming* session happens to run in).
-    epoch_us = lambda c: F.expr(
-        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {c})"
-    )
+    if ts_is_ntz:
+        # NTZ read: timestampdiff against an NTZ epoch literal is pure
+        # integer arithmetic — no session-timezone cast anywhere
+        epoch_us = lambda c: F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {c})"
+        )
+    else:
+        # LTZ read: unix_micros is the instant's micros since the UTC
+        # epoch — independent of the session timezone; an NTZ literal
+        # here would coerce through the session tz and shift the hash
+        epoch_us = lambda c: F.expr(f"unix_micros({c})")
     return (
         sessions.groupBy("user_id", "session_no")
         .agg(
