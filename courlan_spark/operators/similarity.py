@@ -308,26 +308,46 @@ def embedding_neardup_pairs(
     seed: int = 42,
     round_decimals: int | None = None,
 ) -> DataFrame:
-    "Cosine near-duplicate pairs via hyperplane buckets + exact rescore."
+    """Cosine near-duplicate pairs via hyperplane buckets + exact rescore.
+
+    The bucket self-join ships ONLY (vec_id, bucket) rows — the
+    embedding array never rides the bucket exchange (the round-4 shape
+    carried the full vector on BOTH sides of the self-join, so each
+    vector crossed the wire ~2x per LSH table it landed in — pure
+    shuffle volume at 100x scale).  Vectors are fetched exactly once
+    for the surviving distinct pairs via attach_pair_payloads, the
+    same ids-first shape the incremental variant already uses;
+    tests/test_plan_shapes.py pins that no bucket exchange carries the
+    embedding column."""
+    from .dedup import attach_pair_payloads, capped_buckets
+
     bucket_udf = make_hyperplane_bucket_udf(dim, planes, tables, seed)
     bucketed = vectors.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
         F.explode(bucket_udf(F.col(vec_col))).alias("bucket"),
     )
-    from .dedup import capped_buckets
-
     bucketed, _ = capped_buckets(bucketed, "bucket", max_bucket_size)
-    left = bucketed.select("bucket", F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
-    right = bucketed.select("bucket", F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    left = bucketed.select("bucket", F.col("vec_id").alias("doc_a"))
+    right = bucketed.select("bucket", F.col("vec_id").alias("doc_b"))
+    pairs = (
+        left.join(right, "bucket")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    vecs = vectors.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
+    )
+    paired = attach_pair_payloads(pairs, vecs, "doc_id", "vec", "va", "vb")
     cos = _cosine_expr(F.col("va"), F.col("vb"))
     if round_decimals is not None:
         cos = F.round(cos, round_decimals)
     return (
-        left.join(right, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cos)
+        paired.withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            "cosine",
+        )
     )

@@ -137,3 +137,66 @@ def test_fused_fingerprints_prunes_unused_page_columns(spark, tmp_path):
     plan = _plan(fused_fingerprints(docs))
     read_schema = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "html" not in read_schema and "text" in read_schema
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _exchange_inputs(formatted: str, partition_key: str) -> list[str]:
+    """For every Exchange node hash-partitioning on `partition_key`,
+    return its `Input [...]` column list (= the exact row schema that
+    crosses the shuffle wire)."""
+    import re
+
+    inputs = []
+    blocks = formatted.split("\n\n")
+    for block in blocks:
+        if "Exchange" not in block.split("\n", 1)[0]:
+            continue
+        if f"hashpartitioning({partition_key}" not in block:
+            continue
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+        assert m, f"Exchange block without Input list:\n{block}"
+        inputs.append(m.group(1))
+    return inputs
+
+
+def test_embedding_neardup_bucket_exchange_ships_ids_only(spark):
+    """The embedding near-dup bucket self-join must exchange ONLY
+    (vec_id, bucket) rows: the round-4 shape carried the full embedding
+    array on both sides, shipping each vector ~2x per LSH table through
+    the shuffle.  Vectors now attach once, to the surviving pairs, via
+    attach_pair_payloads (single reference to the vector table)."""
+    from courlan_spark.operators.similarity import embedding_neardup_pairs
+
+    dim = 8
+    vecs = spark.range(0, 300).select(
+        F.col("id").alias("vec_id"),
+        F.array([(F.col("id") % (i + 3)).cast("float") for i in range(dim)]).alias(
+            "embedding"
+        ),
+    )
+    out = embedding_neardup_pairs(vecs, dim=dim, threshold=0.5, max_bucket_size=100)
+
+    optimized = _optimized(out)
+    # two joins total: the ids-only bucket self-join + ONE payload join
+    assert optimized.count("Join") == 2
+    # the old shape projected the embedding straight onto the join
+    # inputs (`embedding#n AS va#m`); the new shape only ever aliases
+    # it into attach_pair_payloads' single `_payload` pass
+    import re
+
+    assert not re.search(r"embedding#\d+ AS v[ab]#", optimized)
+
+    # no exchange partitioning on the bucket key may carry the
+    # embedding column in its shuffled row schema (the embedding DOES
+    # appear upstream as the bucket UDF's input — that's unavoidable
+    # and free; what must not happen is the array crossing the wire)
+    inputs = _exchange_inputs(_formatted(out), "bucket")
+    assert inputs, "expected a bucket-key exchange in the plan"
+    for cols in inputs:
+        assert "embedding" not in cols and "vec" not in cols.replace(
+            "vec_id", ""
+        ), f"embedding column crossed the bucket exchange: [{cols}]"
