@@ -176,11 +176,16 @@ except ImportError:
     WILDCARD_SUFFIX_PARENTS = _EMBEDDED_WILDCARD_PARENTS
     PSL_EXCEPTIONS = _EMBEDDED_EXCEPTIONS
 
-_MAX_SUFFIX_LABELS = max(s.count(".") + 1 for s in PUBLIC_SUFFIXES)
+# default=1 so a generated psl_data.py with an empty wildcard or
+# exception table (the upstream format permits either) cannot break
+# the whole package at import time (round-4 ADVICE).
+_MAX_SUFFIX_LABELS = max((s.count(".") + 1 for s in PUBLIC_SUFFIXES), default=1)
 _MAX_WILDCARD_PARENT_LABELS = max(
-    s.count(".") + 1 for s in WILDCARD_SUFFIX_PARENTS
+    (s.count(".") + 1 for s in WILDCARD_SUFFIX_PARENTS), default=1
 )
-_MAX_EXCEPTION_LABELS = max(s.count(".") + 1 for s in PSL_EXCEPTIONS)
+_MAX_EXCEPTION_LABELS = max(
+    (s.count(".") + 1 for s in PSL_EXCEPTIONS), default=1
+)
 
 
 def _suffix_length(labels: list[str]) -> int:
