@@ -151,6 +151,12 @@ def connected_components_bounded(
     edges_ck = (
         edges.selectExpr("cast(src as long) src", "cast(dst as long) dst")
         .where(F.col("src") != F.col("dst"))
+        # distinct BEFORE the bounded collect: the cap gates on the
+        # DISTINCT graph size, same as the distributed path's own
+        # dedup — a duplicate-heavy edge list whose distinct graph is
+        # small must not spuriously fall back to the slow path, and
+        # the driver must not collect rows it doesn't need (r4 ADVICE)
+        .distinct()
         .localCheckpoint()
     )
     rows = edges_ck.limit(max_local_edges + 1).collect()

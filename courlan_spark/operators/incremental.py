@@ -283,7 +283,12 @@ def collect_pair_ids(
     return [int(r[id_col]) for r in rows]
 
 
-_EXACT_IN_LIMIT = 1000       # parquet keeps an In exact up to this
+from ..plans.session import PARQUET_IN_FILTER_THRESHOLD
+
+# parquet keeps an In exact up to the session's pushdown threshold —
+# imported, not copied, so the exact-In path and the session config
+# cannot drift apart (round-4 ADVICE)
+_EXACT_IN_LIMIT = PARQUET_IN_FILTER_THRESHOLD
 _MAX_INTERVALS = 256         # interval-set predicate size bound
 
 

@@ -103,12 +103,20 @@ def robots_tables(robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     # one row per host BEFORE parsing: duplicate host rows in the
     # input (re-fetches of the same robots.txt) would otherwise fan
     # out every link row per duplicate in crawlable_links' host
-    # equi-join.  The survivor is max(body) — a deterministic pick, so
-    # hosts whose re-fetches parsed to different rule lists give the
-    # same crawlable-links verdict on every run (dropDuplicates kept
-    # an arbitrary row; round-4 ADVICE fix) — and deduping pre-parse
-    # also parses each host's body once instead of once per fetch.
-    robots = robots.groupBy("host").agg(F.max("body").alias("body"))
+    # equi-join, and deduping pre-parse also parses each host's body
+    # once instead of once per fetch.  The survivor is deterministic
+    # AND rule-preserving: max over (looks_like_rules, body) — a
+    # re-fetch that returned an error page (no directive lines) can
+    # never out-rank a body that parses to real rules, which a plain
+    # max(body) allowed, silently making the host fully crawlable
+    # (round-4/5 ADVICE fix).  Ties among rule-bearing bodies fall
+    # back to lexicographic max, the old deterministic contract.
+    has_rules = F.col("body").rlike(r"(?im)^\s*(dis)?allow\s*:")
+    robots = robots.groupBy("host").agg(
+        F.max(F.struct(has_rules.alias("has_rules"), F.col("body"))).getField(
+            "body"
+        ).alias("body")
+    )
     parsed = robots.mapInPandas(
         parse,
         schema="host string, rules array<struct<prefix:string,allow:boolean>>, "

@@ -288,6 +288,15 @@ def remove_duplicate_blocks(
     truncate silently.  Docs whose refs were dropped may under-strip;
     the accounting makes that auditable.
 
+    SCOPE of the attribute: ``_refs_observation`` is a plain Python
+    attribute on the directly returned DataFrame ONLY — any further
+    transformation (``select``/``filter``/``persist``/...) returns a
+    new DataFrame without it.  A caller that transforms the result
+    before its first action MUST pass its own ``observation=`` to keep
+    the accounting; the Observation object itself is unaffected by
+    downstream transformations and fires on the first action that
+    executes the observed node (round-4 ADVICE).
+
     Returns the input columns with ``text`` rewritten plus
     ``n_removed`` (characters dropped)."""
     from pyspark.sql import Window

@@ -13,6 +13,16 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Parquet keeps a pushed In predicate EXACT (one eq() leaf per value)
+# up to this many values; past it Spark pushes a min/max range
+# instead.  Raising it is NOT safe: parquet expands the In into a
+# right-deep OR chain and a ~50k-value chain overflows the executor
+# stack (measured StackOverflowError in every scan task).  The
+# incremental verify's candidate-id pushdown sizes its exact-In path
+# to this same number — operators/incremental.py imports THIS constant
+# so the two can never drift (round-4 ADVICE).
+PARQUET_IN_FILTER_THRESHOLD = 1000
+
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -55,7 +65,10 @@ def get_session(
         # StackOverflowError in every scan task); past the bound Spark
         # pushes the min/max range instead and the InSet row filter
         # still drops non-partner rows before any text moves
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+        .config(
+            "spark.sql.parquet.pushdown.inFilterThreshold",
+            str(PARQUET_IN_FILTER_THRESHOLD),
+        )
         # local mode: the driver JVM hosts every task; N concurrent
         # tasks need N shares of sort/join memory or stages spill and
         # high core counts run *slower* than low ones (measured: the
