@@ -186,6 +186,97 @@ SELECT concat('https://docs', cast(doc_id % 7 as string), '.example.com/post/',
 FROM documents
 """
 
+# §2.3 URL-part extraction bank: fix_relative_urls → get_base_url /
+# get_host_and_path / is_external over one (page_url, href) pair per
+# row (parity targets /root/reference/courlan/urlutils.py:72-145).
+# Each template pins the expected outputs as SQL fragments; {ID} is
+# cast(doc_id as string).  Expectations are verified against the
+# scalar layer in tests/test_catalog_oracles.py::test_url_parts_bank.
+_PARTS_A = "concat('https://www.example.com/blog/post-', {ID})"
+_PARTS_B = "concat('http://host', {ID}, '.example.org:8080/a/b')"
+_EX_COM = "'https://www.example.com'"
+
+URL_PARTS_BANK: list[dict] = [
+    # absolute path
+    {"base": _PARTS_A, "href": "'/about'",
+     "fixed": "'https://www.example.com/about'",
+     "base_url": _EX_COM, "path": "'/about'", "external": False},
+    # parent-directory traversal
+    {"base": _PARTS_A, "href": "'../tags/news'",
+     "fixed": "'https://www.example.com/tags/news'",
+     "base_url": _EX_COM, "path": "'/tags/news'", "external": False},
+    # bare relative path joins onto the page's directory
+    {"base": _PARTS_A, "href": "concat('img-', {ID}, '.jpg')",
+     "fixed": "concat('https://www.example.com/blog/img-', {ID}, '.jpg')",
+     "base_url": _EX_COM,
+     "path": "concat('/blog/img-', {ID}, '.jpg')", "external": False},
+    # scheme-relative other host inherits the page's scheme; same
+    # registrable-domain first label => internal under fast mode
+    {"base": _PARTS_A, "href": "concat('//cdn.example.net/lib-', {ID}, '.js')",
+     "fixed": "concat('https://cdn.example.net/lib-', {ID}, '.js')",
+     "base_url": "'https://cdn.example.net'",
+     "path": "concat('/lib-', {ID}, '.js')", "external": False},
+    # absolute other-site link passes through untouched and is external
+    {"base": _PARTS_A, "href": "concat('https://other-site.org/path/', {ID})",
+     "fixed": "concat('https://other-site.org/path/', {ID})",
+     "base_url": "'https://other-site.org'",
+     "path": "concat('/path/', {ID})", "external": True},
+    # CMS template placeholder: passes through; base_url is the empty
+    # string, host/path are NULL (get_host_and_path raises on it)
+    {"base": _PARTS_A, "href": "'{placeholder}'",
+     "fixed": "'{placeholder}'",
+     "base_url": "''", "host": "NULL", "path": "NULL", "external": True},
+    # query-only and fragment-only hrefs keep the page path
+    {"base": _PARTS_A, "href": "'?page=2'",
+     "fixed": "concat('https://www.example.com/blog/post-', {ID}, '?page=2')",
+     "base_url": _EX_COM,
+     "path": "concat('/blog/post-', {ID}, '?page=2')", "external": False},
+    {"base": _PARTS_A, "href": "'#sec'",
+     "fixed": "concat('https://www.example.com/blog/post-', {ID}, '#sec')",
+     "base_url": _EX_COM,
+     "path": "concat('/blog/post-', {ID}, '#sec')", "external": False},
+    # non-default port survives into base_url/host
+    {"base": _PARTS_B, "href": "concat('c/d-', {ID})",
+     "fixed": "concat('http://host', {ID}, '.example.org:8080/a/c/d-', {ID})",
+     "base_url": "concat('http://host', {ID}, '.example.org:8080')",
+     "path": "concat('/a/c/d-', {ID})", "external": False},
+    # absolute same-registrable-domain subdomain: internal
+    {"base": _PARTS_A, "href": "concat('https://sub.example.com/x/', {ID})",
+     "fixed": "concat('https://sub.example.com/x/', {ID})",
+     "base_url": "'https://sub.example.com'",
+     "path": "concat('/x/', {ID})", "external": False},
+]
+
+
+def _parts_case(field: str) -> str:
+    "CASE expression over URL_PARTS_BANK selecting `field` by doc_id."
+    arms = []
+    for k, entry in enumerate(URL_PARTS_BANK):
+        frag = entry.get(field)
+        if frag is None:
+            frag = entry["base_url"] if field == "host" else "NULL"
+        if isinstance(frag, bool):
+            frag = "TRUE" if frag else "FALSE"
+        frag = frag.replace("{ID}", "cast(doc_id as string)")
+        arms.append(f"WHEN {k} THEN {frag}")
+    return f"CASE doc_id % {len(URL_PARTS_BANK)} " + " ".join(arms) + " END"
+
+
+URL_PARTS_SQL = (
+    f"SELECT doc_id, {_parts_case('base')} AS page_url, "
+    f"{_parts_case('href')} AS href FROM documents"
+)
+
+URL_PARTS_ORACLE = f"""
+SELECT doc_id,
+       {_parts_case('fixed')} AS fixed_url,
+       {_parts_case('base_url')} AS base_url,
+       {_parts_case('host')} AS host,
+       {_parts_case('path')} AS path,
+       {_parts_case('external')} AS external
+FROM documents
+"""
+
 
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     for name in names:
@@ -257,6 +348,35 @@ def q_check_url_bank_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_c.norm_url").alias("norm_url"),
             F.col("_c.domain").alias("domain"),
         )
+    )
+
+
+def q_url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-part extraction over the (page_url, href) bank: resolve the
+    href (fix_relative_urls), then split the result into base_url /
+    host / path (get_base_url, get_host_and_path) and flag external
+    links (is_external, fast registrable-domain compare).  Oracle =
+    template-pinned expectations (URL_PARTS_ORACLE), themselves pinned
+    to the scalar parity layer by a unit test."""
+    from ..functions.url_udfs import (
+        base_url_udf,
+        fix_relative_udf,
+        host_path_udf,
+        is_external_udf,
+    )
+
+    _views(spark, sf_dir, "documents")
+    pairs = spark.sql(URL_PARTS_SQL)
+    fixed = pairs.withColumn(
+        "fixed_url", fix_relative_udf(F.col("page_url"), F.col("href"))
+    ).withColumn("_hp", host_path_udf(F.col("fixed_url")))
+    return fixed.select(
+        "doc_id",
+        "fixed_url",
+        base_url_udf(F.col("fixed_url")).alias("base_url"),
+        F.col("_hp.host").alias("host"),
+        F.col("_hp.path").alias("path"),
+        is_external_udf(F.col("fixed_url"), F.col("page_url")).alias("external"),
     )
 
 
@@ -860,6 +980,7 @@ def q_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 
 ORACLES: dict[str, str] = {
     "q_check_url_bank": URLBANK_ORACLE,
+    "q_url_parts": URL_PARTS_ORACLE,
     "q_check_url_bank_strict": URLBANK_STRICT_ORACLE,
     "q_robots_filtering": _ROBOTS_FILTERING_ORACLE,
     "q_url_split_counts": f"""
@@ -1325,6 +1446,7 @@ ORACLES["q_langid_stopwords"] = _langid_oracle()
 QUERIES = {
     "q_check_url_bank": q_check_url_bank,
     "q_check_url_bank_strict": q_check_url_bank_strict,
+    "q_url_parts": q_url_parts,
     "q_robots_filtering": q_robots_filtering,
     "q_url_split_counts": q_url_split_counts,
     "q_url_canonical_dedup": q_url_canonical_dedup,

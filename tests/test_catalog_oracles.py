@@ -57,6 +57,40 @@ def test_urlbank_expectations(doc_id):
             assert strict_result == (expected, domain)
 
 
+@pytest.mark.parametrize("doc_id", [0, 7, 123])
+def test_url_parts_bank(doc_id):
+    """URL_PARTS_BANK expectations == the scalar layer (fix_relative_urls,
+    get_base_url, get_host_and_path, is_external) for every template."""
+    from courlan_spark.plans.catalog import URL_PARTS_BANK
+    from courlan_spark.urlkit import (
+        fix_relative_urls,
+        get_base_url,
+        is_external,
+    )
+    from courlan_spark.urlkit.parts import get_host_and_path
+
+    def render(frag):
+        if frag is None or frag == "NULL":
+            return None
+        if isinstance(frag, bool):
+            return frag
+        return _render(frag, doc_id)
+
+    for k, entry in enumerate(URL_PARTS_BANK):
+        base = render(entry["base"])
+        href = render(entry["href"])
+        fixed = fix_relative_urls(base, href)
+        assert fixed == render(entry["fixed"]), (k, href)
+        assert get_base_url(fixed) == render(entry["base_url"]), (k, fixed)
+        try:
+            host, path = get_host_and_path(fixed)
+        except (ValueError, TypeError, AttributeError):
+            host = path = None
+        assert host == render(entry.get("host", entry["base_url"])), (k, fixed)
+        assert path == render(entry["path"]), (k, fixed)
+        assert is_external(fixed, base) is entry["external"], (k, fixed)
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
