@@ -553,6 +553,8 @@ def _incremental_main(out_path: str, corpus_path: str) -> None:
         pipe.run(pages_view(full))
         return pipe.metrics
 
+    delta_widths: list[int] = []
+
     def run_delta(session, store) -> list[dict]:
         workdir = tempfile.mkdtemp(prefix="bench_inc_run_")
         tmp_dirs.append(workdir)
@@ -562,6 +564,7 @@ def _incremental_main(out_path: str, corpus_path: str) -> None:
         pipe.run_incremental(
             pages_view(full.where(F.col("doc_id") >= cut)), store
         )
+        delta_widths.append(pipe._delta_shuffle_partitions)
         return pipe.metrics
 
     try:
@@ -626,6 +629,10 @@ def _incremental_main(out_path: str, corpus_path: str) -> None:
                 "delta_secs_at_full_cores": wide["secs"],
                 "full_cores": CPUS,
                 "stages_at_full_cores": wide["stages"],
+                # run_incremental auto-sizes shuffle width to the
+                # delta's rows (clamp(rows/1000, 8, session default))
+                # — the fix for the r4 wide-session cliff
+                "shuffle_partitions_delta": delta_widths[-1] if delta_widths else None,
             },
         }
         with open(out_path, "w") as fh:

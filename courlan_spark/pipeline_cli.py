@@ -69,6 +69,12 @@ def parse_args(args: list[str] | None = None) -> argparse.Namespace:
         "base run and any earlier deltas, oldest first (repeatable)",
     )
     parser.add_argument(
+        "--delta-shuffle-partitions", type=int, default=None,
+        help="incremental runs: pin the delta's shuffle width (default "
+        "auto = clamp(delta_rows/1000, 8, session width) — a delta job "
+        "sized to the cluster pays the per-task floor on every stage)",
+    )
+    parser.add_argument(
         "-p", "--parallel", type=int, default=None,
         help="local cores (cluster: use spark-submit instead)",
     )
@@ -121,7 +127,14 @@ def run(args: argparse.Namespace, spark=None) -> dict:
 
             store = FingerprintStore.from_workdirs(spark, *args.store_workdir)
             summary = pipeline.run_incremental(
-                page_cols, store, resume=args.resume
+                page_cols,
+                store,
+                resume=args.resume,
+                shuffle_partitions=(
+                    args.delta_shuffle_partitions
+                    if args.delta_shuffle_partitions is not None
+                    else "auto"
+                ),
             )
         else:
             summary = pipeline.run(page_cols, resume=args.resume)

@@ -536,6 +536,7 @@ class DedupPipeline:
         new_pages: DataFrame,
         store: FingerprintStore,
         resume: bool = False,
+        shuffle_partitions: int | str | None = "auto",
     ) -> dict:
         """Dedup a DELTA batch against a FingerprintStore and emit the
         MERGED cluster table — the daily-ingest path: the only pass
@@ -559,12 +560,57 @@ class DedupPipeline:
         04_fingerprints snapshots plus the merged 09_assignments, so
         ``FingerprintStore.from_workdirs(spark, base, this_workdir)``
         is the store for the NEXT delta — store files are immutable,
-        each batch adds its own (the Iceberg-snapshot shape)."""
+        each batch adds its own (the Iceberg-snapshot shape).
+
+        ``shuffle_partitions`` right-sizes the session's shuffle width
+        to the DELTA's row count for the duration of the run (restored
+        after).  Default "auto" = clamp(ceil(rows/1000), 8, session
+        default).  Why this exists: a delta job inherits the session's
+        cluster-wide shuffle width, and AQE's partition coalescing
+        will not shrink below defaultParallelism
+        (coalescePartitions.parallelismFirst=true), so a 12k-row delta
+        on a 32-core session runs every stage as 32 ~375-row tasks and
+        pays the per-task floor 32x per stage — measured 42s at
+        local[32] default vs 24.5s with 16 shuffle partitions (same
+        session width; tools/exp_delta_sizing.py).  At production
+        scale the same rule holds: size a delta job's shuffle width to
+        the delta, not the cluster.  Pass None to leave the session
+        untouched, or an int to pin it."""
         cfg = self.config
         if not cfg.fused_fingerprints:
             raise ValueError("run_incremental requires fused_fingerprints=True")
         store.check_config(cfg)
         self._persist_config()
+
+        session_width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        if shuffle_partitions == "auto":
+            # delta-scale count: reads only parquet footers / the
+            # filter column, never text
+            n_delta = new_pages.count()
+            shuffle_partitions = min(
+                session_width, max(8, -(-n_delta // 1000))
+            )
+        if shuffle_partitions is not None and shuffle_partitions != session_width:
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        self._delta_shuffle_partitions = (
+            shuffle_partitions if shuffle_partitions is not None else session_width
+        )
+        try:
+            return self._run_incremental_body(new_pages, store, resume)
+        finally:
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(session_width)
+            )
+
+    def _run_incremental_body(
+        self,
+        new_pages: DataFrame,
+        store: FingerprintStore,
+        resume: bool,
+    ) -> dict:
+        cfg = self.config
 
         from pyspark.sql import Observation
 

@@ -48,6 +48,44 @@ def test_base_plus_delta_equals_full_run(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_delta_shuffle_width_auto_sized_and_restored(spark):
+    """run_incremental right-sizes the session's shuffle width to the
+    delta's row count (clamp(ceil(rows/1000), 8, session default)) and
+    restores the session conf afterwards — the fix for the r4 wide-
+    session cliff, where a 12k-row delta on 32 cores ran every stage
+    as 32 tiny tasks (AQE coalescing won't go below
+    defaultParallelism).  Pinned ints and None are honored too."""
+    full = generate_pages(spark, 600).cache()
+    base = full.where("doc_id < 400")
+    delta = full.where("doc_id >= 400")  # 200 rows -> auto width 8
+    dirs = [tempfile.mkdtemp(prefix=f"incw_{k}_") for k in ("base", "a", "b")]
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    try:
+        cfg = DedupConfig(jaccard_threshold=0.6)
+        DedupPipeline(spark, dirs[0], cfg).run(pages_view(base))
+        store = FingerprintStore.from_workdir(spark, dirs[0])
+
+        pipe_auto = DedupPipeline(spark, dirs[1], cfg)
+        pipe_auto.run_incremental(pages_view(delta), store)
+        assert pipe_auto._delta_shuffle_partitions == min(int(before), 8)
+        assert spark.conf.get(key) == before
+
+        pipe_pin = DedupPipeline(spark, dirs[2], cfg)
+        pipe_pin.run_incremental(
+            pages_view(delta), store, shuffle_partitions=5
+        )
+        assert pipe_pin._delta_shuffle_partitions == 5
+        assert spark.conf.get(key) == before
+
+        # identical clusters regardless of shuffle width
+        assert _assignments(pipe_auto) == _assignments(pipe_pin)
+    finally:
+        spark.conf.set(key, before)
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_chained_deltas_via_from_workdirs(spark):
     "Two successive deltas, the second joining the base+first-delta store."
     full = generate_pages(spark, 900).cache()
