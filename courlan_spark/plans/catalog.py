@@ -248,6 +248,82 @@ URL_PARTS_BANK: list[dict] = [
 ]
 
 
+# §2.2 crawl-heuristic bank: is_navigation_page / is_not_crawlable
+# (parity filters.py:282-291) as native rlike columns.  Expected
+# booleans pinned per template; verified against the scalar layer in
+# tests/test_catalog_oracles.py::test_nav_flags_bank.
+NAV_BANK: list[tuple[str, bool, bool]] = [
+    ("concat('https://ex.com/category/news/', {ID})", True, False),
+    ("concat('https://ex.com/tags/', {ID}, '/')", True, False),
+    ("concat('https://ex.com/page?p=', {ID})", True, False),
+    ("concat('https://ex.com/author/jane-', {ID}, '/')", True, False),
+    ("'https://ex.com/kontakt'", False, True),
+    ("'https://ex.com/impressum.html'", False, True),
+    ("concat('https://ex.com/login?next=', {ID})", False, True),
+    ("concat('https://ex.com/a/mailto:user', {ID})", False, True),
+    # datenschutzerklärung: the umlaut is one char for .{1,2}
+    ("'https://ex.com/datenschutzerklärung'", False, True),
+    ("concat('https://ex.com/articles/story-', {ID})", False, False),
+    # nav AND non-crawlable can overlap
+    ("concat('https://ex.com/tags/x/login?y=', {ID})", True, True),
+    ("'https://ex.com/paged/2/'", True, False),
+]
+
+
+def _nav_case(idx: int) -> str:
+    arms = []
+    for k, entry in enumerate(NAV_BANK):
+        val = entry[idx]
+        frag = (
+            val.replace("{ID}", "cast(doc_id as string)")
+            if isinstance(val, str)
+            else ("TRUE" if val else "FALSE")
+        )
+        arms.append(f"WHEN {k} THEN {frag}")
+    return f"CASE doc_id % {len(NAV_BANK)} " + " ".join(arms) + " END"
+
+
+NAV_BANK_SQL = f"SELECT doc_id, {_nav_case(0)} AS url FROM documents"
+
+NAV_FLAGS_ORACLE = f"""
+SELECT doc_id,
+       {_nav_case(0)} AS url,
+       {_nav_case(1)} AS navigation,
+       {_nav_case(2)} AS not_crawlable
+FROM documents
+"""
+
+# §2.5 known-link variant dedup: candidate links in all four identity
+# variants (http/https x trailing slash) against a known set built
+# from a DIFFERENT surface form — the anti-join must collide them via
+# the canonical key (scheme-less, slash-less).  The oracle expresses
+# the same semantics in independent DuckDB SQL (regexp_replace+rtrim).
+NEW_LINKS_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS link_id,
+       concat(CASE WHEN l_linenumber % 2 = 0 THEN 'http://' ELSE 'https://' END,
+              'site', cast(l_partkey % 20 as string), '.example.com/p/',
+              cast(l_partkey as string),
+              CASE WHEN l_linenumber % 4 < 2 THEN '/' ELSE '' END) AS link
+FROM lineitem
+"""
+
+KNOWN_LINKS_SQL = """
+SELECT concat('https://site', cast(p_partkey % 20 as string),
+              '.example.com/p/', cast(p_partkey as string)) AS url
+FROM part
+WHERE p_partkey % 3 = 0
+"""
+
+NEW_LINKS_ORACLE = f"""
+WITH links AS ({NEW_LINKS_SQL}),
+     known AS ({KNOWN_LINKS_SQL})
+SELECT link_id, link FROM links
+WHERE rtrim(regexp_replace(link, '^https?://', ''), '/') NOT IN (
+    SELECT rtrim(regexp_replace(url, '^https?://', ''), '/') FROM known
+)
+"""
+
+
 def _parts_case(field: str) -> str:
     "CASE expression over URL_PARTS_BANK selecting `field` by doc_id."
     arms = []
@@ -378,6 +454,36 @@ def q_url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_hp.path").alias("path"),
         is_external_udf(F.col("fixed_url"), F.col("page_url")).alias("external"),
     )
+
+
+def q_nav_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl heuristics as native rlike columns (no Python): navigation
+    /overview-page and deep-web/non-crawlable flags over the NAV_BANK
+    templates (parity filters.py:282-291)."""
+    from ..functions import native
+
+    _views(spark, sf_dir, "documents")
+    urls = spark.sql(NAV_BANK_SQL)
+    return urls.select(
+        "doc_id",
+        "url",
+        native.is_navigation_col(F.col("url")).alias("navigation"),
+        native.is_not_crawlable_col(F.col("url")).alias("not_crawlable"),
+    )
+
+
+def q_new_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-link variant dedup as a distributed anti-join: candidate
+    links in all four identity variants (http/https x trailing slash)
+    drop when ANY variant is known — both sides reduce to the
+    canonical key (scheme-less, slash-less), the distributed form of
+    is_known_link's sequential probes (urlutils.py:148-174)."""
+    from ..operators.links import new_links_only
+
+    _views(spark, sf_dir, "lineitem", "part")
+    links = spark.sql(NEW_LINKS_SQL)
+    known = spark.sql(KNOWN_LINKS_SQL)
+    return new_links_only(links, known)
 
 
 def q_robots_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,6 +1087,8 @@ def q_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 ORACLES: dict[str, str] = {
     "q_check_url_bank": URLBANK_ORACLE,
     "q_url_parts": URL_PARTS_ORACLE,
+    "q_nav_flags": NAV_FLAGS_ORACLE,
+    "q_new_links": NEW_LINKS_ORACLE,
     "q_check_url_bank_strict": URLBANK_STRICT_ORACLE,
     "q_robots_filtering": _ROBOTS_FILTERING_ORACLE,
     "q_url_split_counts": f"""
@@ -1447,6 +1555,8 @@ QUERIES = {
     "q_check_url_bank": q_check_url_bank,
     "q_check_url_bank_strict": q_check_url_bank_strict,
     "q_url_parts": q_url_parts,
+    "q_nav_flags": q_nav_flags,
+    "q_new_links": q_new_links,
     "q_robots_filtering": q_robots_filtering,
     "q_url_split_counts": q_url_split_counts,
     "q_url_canonical_dedup": q_url_canonical_dedup,

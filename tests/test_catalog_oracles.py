@@ -91,6 +91,18 @@ def test_url_parts_bank(doc_id):
         assert is_external(fixed, base) is entry["external"], (k, fixed)
 
 
+@pytest.mark.parametrize("doc_id", [0, 7, 123])
+def test_nav_flags_bank(doc_id):
+    "NAV_BANK pinned booleans == the scalar crawl heuristics."
+    from courlan_spark.plans.catalog import NAV_BANK
+    from courlan_spark.urlkit import is_navigation_page, is_not_crawlable
+
+    for k, (frag, nav, noncrawl) in enumerate(NAV_BANK):
+        url = _render(frag, doc_id)
+        assert is_navigation_page(url) is nav, (k, url)
+        assert is_not_crawlable(url) is noncrawl, (k, url)
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
