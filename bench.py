@@ -124,6 +124,8 @@ def compact_result(result: dict, details_file: str) -> dict:
             "docs_per_sec_low", "docs_per_sec_high",
             "pair_efficiencies", "efficiency_all_pairs",
             "uncontended_pair_efficiencies", "efficiency_uncontended",
+            "least_contended_pair_efficiency",
+            "min_probe_mops", "min_probe_gbs",
             "efficiency",
         ],
     )
@@ -787,6 +789,20 @@ def main() -> None:
                 "efficiency_all_pairs": round(effs[len(effs) // 2], 3),
                 "least_contended_pair_efficiency": round(
                     pair_eff(calm_h, calm_lo), 3
+                ),
+                # worst probe across every leg: lets a reader of the
+                # compact line judge how contended the window was
+                # against the idle baselines (cpu ~5.5-6.3 Mops,
+                # dram ~20-24 GB/s) without opening the details file
+                "min_probe_mops": round(
+                    min(
+                        r["cpu_probe_mops"] for p in pairs for r in p
+                    ), 2
+                ),
+                "min_probe_gbs": round(
+                    min(
+                        r["dram_probe_gbs"] for p in pairs for r in p
+                    ), 1
                 ),
             }
             # pre-registered rule (round 2, thresholds unchanged): a
