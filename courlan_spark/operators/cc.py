@@ -185,4 +185,17 @@ def connected_components_bounded(
     spark = edges.sparkSession
     if not data:
         return spark.createDataFrame([], "node long, component long")
-    return spark.createDataFrame(data, "node long, component long")
+    # Arrow-backed local relation + eager checkpoint: a list-of-tuples
+    # createDataFrame embeds a pickled LocalRelation that re-serializes
+    # through py4j on EVERY consuming action — at ~10^5 nodes that cost
+    # dominated the pipeline's final join stage (measured: stage
+    # 09_assignments 1.1s -> 9.1s when the 120k-page cluster graph
+    # switched onto this path).  pandas rides the Arrow channel once,
+    # and the checkpoint pins the rows executor-side so downstream
+    # actions read partitions, not the driver's Python list.
+    import pandas as pd
+
+    out = spark.createDataFrame(
+        pd.DataFrame(data, columns=["node", "component"]).astype("int64")
+    )
+    return out.localCheckpoint()
