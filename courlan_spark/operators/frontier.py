@@ -127,15 +127,22 @@ def ingest_urls(
 def merge_scheme_variants(frontier: DataFrame) -> DataFrame:
     """http://X and https://X are one host: https absorbs http
     (urlstore.py:226-238), applied set-wide in one pass: a host keeps
-    the https scheme iff any row for the scheme-less key saw https."""
+    the https scheme iff any row for the scheme-less key saw https.
+
+    Shape: ONE hash-partition exchange on the scheme-less key (an
+    unordered window max), vs the former groupBy+join which reshuffled
+    the row stream a second time for the sort-merge join once the
+    distinct-host side outgrows broadcast — at web scale the host
+    dimension is ~10⁸ rows, never broadcastable.  Downstream per-host
+    stages (host aggregates, scheduling) reuse the same partitioning."""
     keyed = frontier.withColumn(
         "_hostkey", F.regexp_replace("host", r"^https?://", "")
     )
-    schemes = keyed.groupBy("_hostkey").agg(
-        F.max(F.col("host").startswith("https")).alias("_has_https")
-    )
+    w = Window.partitionBy("_hostkey")
     return (
-        keyed.join(schemes, "_hostkey")
+        keyed.withColumn(
+            "_has_https", F.max(F.col("host").startswith("https")).over(w)
+        )
         .withColumn(
             "host",
             F.concat(

@@ -1551,12 +1551,134 @@ def _langid_oracle() -> str:
 
 ORACLES["q_langid_stopwords"] = _langid_oracle()
 
+
+# ---------------------------------------------------------------------------
+# §2.2 clean_url and §2.5 http↔https host merge (round 5)
+# ---------------------------------------------------------------------------
+
+# clean_url template bank: (raw-SQL fragment, cleaned fragment or None).
+# clean_url == scrub_url + normalize_url(strict=False,
+# trailing_slash=False) (parity /root/reference/courlan/clean.py:43-48).
+# The query runs with language='en', so template 9 (lang=de) exercises
+# clean_query_string's ValueError reject path.  Expectations pinned
+# against the scalar layer in
+# tests/test_catalog_oracles.py::test_clean_url_bank.
+CLEAN_URL_BANK: list[tuple[str, str | None]] = [
+    ("concat('https://www.example.com/page/', {ID}, '/')",
+     "concat('https://www.example.com/page/', {ID})"),
+    ("concat('https://example.com/search?q=', {ID}, '&utm_campaign=x&b=2')",
+     "concat('https://example.com/search?b=2&q=', {ID})"),
+    ("concat('https://example.com/a/', {ID}, '#section')",
+     "concat('https://example.com/a/', {ID}, '#section')"),
+    ("concat('HTTPS://EXAMPLE.COM/A/', {ID})",
+     "concat('https://example.com/A/', {ID})"),
+    ("concat('https://example.com/a b/', {ID})",
+     "concat('https://example.com/ab/', {ID})"),
+    ("concat('https://example.com:443/y/', {ID})",
+     "concat('https://example.com/y/', {ID})"),
+    ("concat('http://example.com:80/y/', {ID}, '/')",
+     "concat('http://example.com/y/', {ID})"),
+    ("concat('https://example.com/?id=', {ID}, '&ref=home')",
+     "concat('https://example.com/?id=', {ID})"),
+    ("concat('https://example.com/x//y/', {ID})",
+     "concat('https://example.com/x/y/', {ID})"),
+    ("concat('https://example.com/page/', {ID}, '?id=', {ID}, '&lang=de')",
+     None),
+    ("concat('https://example.com/page/', {ID}, '?id=', {ID}, '&lang=en')",
+     "concat('https://example.com/page/', {ID}, '?id=', {ID}, '&lang=en')"),
+    ("concat('http://xn--mnchen-3ya.de/x/', {ID})",
+     "concat('http://münchen.de/x/', {ID})"),
+]
+
+
+def _clean_case(idx: int) -> str:
+    "CASE expression selecting the CLEAN_URL_BANK template by doc_id."
+    arms = []
+    for k, entry in enumerate(CLEAN_URL_BANK):
+        frag = entry[idx]
+        value = frag.replace("{ID}", "cast(doc_id as string)") if frag else "NULL"
+        arms.append(f"WHEN {k} THEN {value}")
+    return f"CASE doc_id % {len(CLEAN_URL_BANK)} " + " ".join(arms) + " END"
+
+
+CLEANBANK_SQL = f"SELECT doc_id, {_clean_case(0)} AS url FROM documents"
+
+CLEANBANK_ORACLE = f"""
+SELECT doc_id,
+       {_clean_case(0)} AS url,
+       {_clean_case(1)} AS clean_url
+FROM documents
+WHERE {_clean_case(1)} IS NOT NULL
+"""
+
+
+def q_clean_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_url over the CLEAN_URL_BANK with target language 'en':
+    the vectorized scrub+normalize kernel with trailing_slash=False,
+    which IS clean_url (clean.py:43-48 chains the same two calls).
+    Rejected rows (lang-mismatch ValueError) drop out as NULLs."""
+    from ..functions.url_udfs import make_normalize_udf
+
+    _views(spark, sf_dir, "documents")
+    urls = spark.sql(CLEANBANK_SQL)
+    clean_udf = make_normalize_udf(strict=False, language="en", trailing_slash=False)
+    return (
+        urls.withColumn("clean_url", clean_udf("url"))
+        .where(F.col("clean_url").isNotNull())
+        .select("doc_id", "url", "clean_url")
+    )
+
+
+# http↔https host-merge bank: key k = c_custkey % 50; a key sees https
+# iff some custkey ≡ k (mod 50) is ≡ 1 (mod 4) — i.e. exactly the odd
+# keys once custkeys cover a full residue system mod 100 (they do at
+# every test SF).  The oracle recomputes the merge declaratively
+# rather than hardcoding that parity argument.
+HOST_MERGE_SQL = """
+SELECT concat(CASE WHEN c_custkey % 4 = 1 THEN 'https://' ELSE 'http://' END,
+              'host', cast(c_custkey % 50 as string), '.example.com') AS host,
+       concat('/p/', cast(c_custkey as string)) AS path
+FROM customer
+"""
+
+_HOST_MERGE_ORACLE = """
+WITH rows AS (
+  SELECT c_custkey % 50 AS k,
+         c_custkey % 4 = 1 AS is_https,
+         concat('/p/', cast(c_custkey as string)) AS path
+  FROM customer),
+flags AS (
+  SELECT k, max(CASE WHEN is_https THEN 1 ELSE 0 END) = 1 AS has_https
+  FROM rows GROUP BY k)
+SELECT concat(CASE WHEN f.has_https THEN 'https://' ELSE 'http://' END,
+              'host', cast(r.k as string), '.example.com') AS host,
+       r.path AS path
+FROM rows r JOIN flags f ON r.k = f.k
+"""
+
+
+def q_host_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-wide http↔https host merge (urlstore.py:226-238 semantics):
+    https absorbs http iff any row for the scheme-less key saw https —
+    one window pass, one shuffle (see merge_scheme_variants)."""
+    from ..operators.frontier import merge_scheme_variants
+
+    _views(spark, sf_dir, "customer")
+    rows = spark.sql(HOST_MERGE_SQL)
+    return merge_scheme_variants(rows).select("host", "path")
+
+
+ORACLES["q_clean_urls"] = CLEANBANK_ORACLE
+ORACLES["q_host_merge"] = _HOST_MERGE_ORACLE
+
 QUERIES = {
     "q_check_url_bank": q_check_url_bank,
     "q_check_url_bank_strict": q_check_url_bank_strict,
     "q_url_parts": q_url_parts,
     "q_nav_flags": q_nav_flags,
     "q_new_links": q_new_links,
+    "q_clean_urls": q_clean_urls,
+    "q_host_merge": q_host_merge,
     "q_robots_filtering": q_robots_filtering,
     "q_url_split_counts": q_url_split_counts,
     "q_url_canonical_dedup": q_url_canonical_dedup,

@@ -91,6 +91,25 @@ def test_url_parts_bank(doc_id):
         assert is_external(fixed, base) is entry["external"], (k, fixed)
 
 
+@pytest.mark.parametrize("doc_id", [0, 7, 123, 4999])
+def test_clean_url_bank(doc_id):
+    """CLEAN_URL_BANK expectations == the scalar clean_url with
+    language='en', and clean_url == the exact scrub+normalize chain
+    the q_clean_urls UDF applies (trailing_slash=False)."""
+    from courlan_spark.plans.catalog import CLEAN_URL_BANK
+    from courlan_spark.urlkit.textual import clean_url, normalize_url, scrub_url
+
+    for k, (raw_frag, clean_frag) in enumerate(CLEAN_URL_BANK):
+        raw = _render(raw_frag, doc_id)
+        expected = _render(clean_frag, doc_id)
+        assert clean_url(raw, "en") == expected, (k, raw)
+        try:
+            chained = normalize_url(scrub_url(raw), False, "en", False)
+        except (AttributeError, ValueError):
+            chained = None
+        assert chained == expected, (k, raw)
+
+
 @pytest.mark.parametrize("doc_id", [0, 7, 123])
 def test_nav_flags_bank(doc_id):
     "NAV_BANK pinned booleans == the scalar crawl heuristics."
