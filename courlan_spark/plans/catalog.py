@@ -828,6 +828,87 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming inside the correctness gate: the
+    events table replayed as a bounded file stream (availableNow
+    trigger), aggregated with the native session_window operator
+    (streaming/stateful.user_session_windows), landed in a memory
+    sink, then numbered per user.  Oracle = the SAME declarative
+    sessionization SQL as q_event_sessions — the batch gap-and-island
+    and the streaming session window are duals, and this query pins
+    that equality inside the driver's own record.
+
+    Complete output mode is deliberate for the gate: append emits only
+    watermark-closed sessions, so a bounded replay would truncate the
+    stream's tail.  Production (unbounded) use is append + watermark
+    to a real sink — see streaming/stateful.py; the memory sink here
+    holds one row per (user, session), bounded at gate scale.
+
+    Watermarks require an instant (TIMESTAMP) event-time column, so a
+    ts read as TIMESTAMP_NTZ is rebuilt as
+    timestamp_micros(timestampdiff(MICROSECOND, NTZ'1970-01-01', ts)):
+    both steps are session-timezone-independent (pure NTZ arithmetic,
+    then micros-since-UTC-epoch construction), unlike a bare
+    NTZ->TIMESTAMP cast, which shifts through the driver session's
+    timezone — the q_event_sessions lesson.  After that the stream's
+    ts is always an instant and unix_micros() is the (tz-independent)
+    epoch emission on both read-type branches.
+
+    Boundary note: at an exact-gap spacing (ts == prev + 30min) the
+    native session_window opens a NEW session (merge condition is
+    strict overlap) while the batch rule keeps the event (new iff
+    ts > prev + gap).  The events table contains no exact-gap spacing
+    at sf 0.001/0.01/0.1 (verified), so the duals agree everywhere
+    the gate runs; data with boundary spacings must pick one rule."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import TimestampNTZType
+
+    from ..streaming.stateful import user_session_windows
+
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
+    # The file stream source wants a directory; the testdata tables are
+    # single files, so stream the parent dir filtered to this one file.
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(batch.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff("
+                "MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"
+            ),
+        )
+    sessions = user_session_windows(stream)
+    name = "_q_stream_sessions_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    result = spark.table(name)
+    epoch_us = lambda c: F.expr(f"unix_micros({c})")
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return result.withColumn(
+        "session_no", F.row_number().over(w).cast("long")
+    ).select(
+        "user_id",
+        "session_no",
+        F.col("n_events").cast("long").alias("n_events"),
+        epoch_us("session_start").alias("session_start_us"),
+        epoch_us("session_end").alias("session_end_us"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q1-style relational sanity check (decimal-exact sums)."
     _views(spark, sf_dir, "lineitem")
@@ -1504,6 +1585,7 @@ SELECT user_id, session_no, count(*) AS n_events,
        epoch_us(max(ts)) AS session_end_us
 FROM s GROUP BY user_id, session_no
 """
+ORACLES["q_stream_sessions"] = ORACLES["q_event_sessions"]
 ORACLES["q_simhash_fingerprints"] = _simhash_fingerprints_oracle()
 ORACLES["q_substring_pairs"] = _substring_pairs_oracle()
 ORACLES["q_suffix_array_pass"] = _suffix_array_pass_oracle()
@@ -1668,8 +1750,71 @@ def q_host_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_scheme_variants(rows).select("host", "path")
 
 
+# §2.7 rate-limited pull bank: the FRONTIER_SQL synthesis plus a
+# deterministic per-host contact timestamp — hosts h ≡ 0 (mod 4) were
+# contacted at ts0 + h seconds, everyone else never.  With
+# now = ts0 + 60s and time_limit = 30s the recently-contacted half of
+# those hosts is rate-limited out.  Timestamps appear ONLY inside the
+# now − host_ts difference, which is invariant under the session
+# timezone (both literals shift together), so no driver-session tz or
+# NTZ-inference config can move the hash (the q_event_sessions lesson).
+RATE_FRONTIER_SQL = """
+SELECT concat('https://host', cast(o_orderkey % 97 as string), '.example.com') AS host,
+       concat('/order/', cast(o_orderkey as string)) AS path,
+       (o_orderkey % 3) = 0 AS visited,
+       o_orderkey AS seq,
+       CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS priority,
+       CASE WHEN (o_orderkey % 97) % 4 = 0
+            THEN timestampadd(SECOND, cast(o_orderkey % 97 as int),
+                              TIMESTAMP '2026-01-01 00:00:00')
+            ELSE NULL END AS host_ts
+FROM orders
+"""
+
+_RATE_LIMITED_ORACLE = """
+WITH f AS (
+  SELECT o_orderkey % 97 AS h,
+         concat('https://host', cast(o_orderkey % 97 as string), '.example.com') AS host,
+         concat('/order/', cast(o_orderkey as string)) AS path,
+         (o_orderkey % 3) = 0 AS visited,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS priority,
+         CASE WHEN (o_orderkey % 97) % 4 = 0
+              THEN TIMESTAMP '2026-01-01 00:00:00' + to_seconds(o_orderkey % 97)
+              ELSE NULL END AS host_ts
+  FROM orders),
+elig AS (
+  SELECT * FROM f
+  WHERE NOT visited
+    AND (host_ts IS NULL OR
+         epoch(TIMESTAMP '2026-01-01 00:01:00') - epoch(host_ts) > 30)),
+ranked AS (
+  SELECT host, path,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, seq ASC) AS rn
+  FROM elig)
+SELECT host, concat(host, path) AS url
+FROM ranked WHERE rn = 1
+ORDER BY host LIMIT 50
+"""
+
+
+def q_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limited pull (get_download_urls, urlstore.py:432-453): one
+    URL per host whose last contact is older than time_limit, capped
+    globally — the limit binds (80 eligible hosts, cap 50), so the
+    deterministic host order is part of the checked contract."""
+    from ..operators.frontier import get_download_urls
+
+    _views(spark, sf_dir, "orders")
+    fr = spark.sql(RATE_FRONTIER_SQL)
+    return get_download_urls(
+        fr, time_limit=30.0, max_urls=50, now_ts="2026-01-01 00:01:00"
+    )
+
+
 ORACLES["q_clean_urls"] = CLEANBANK_ORACLE
 ORACLES["q_host_merge"] = _HOST_MERGE_ORACLE
+ORACLES["q_rate_limited"] = _RATE_LIMITED_ORACLE
 
 QUERIES = {
     "q_check_url_bank": q_check_url_bank,
@@ -1679,6 +1824,7 @@ QUERIES = {
     "q_new_links": q_new_links,
     "q_clean_urls": q_clean_urls,
     "q_host_merge": q_host_merge,
+    "q_rate_limited": q_rate_limited,
     "q_robots_filtering": q_robots_filtering,
     "q_url_split_counts": q_url_split_counts,
     "q_url_canonical_dedup": q_url_canonical_dedup,
@@ -1701,6 +1847,7 @@ QUERIES = {
     "q_media_features": q_media_features,
     "q_pricing_summary": q_pricing_summary,
     "q_event_sessions": q_event_sessions,
+    "q_stream_sessions": q_stream_sessions,
     # kernel surfaces with independent DuckDB ground-truth oracles
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash_fingerprints": q_simhash_fingerprints,

@@ -26,10 +26,11 @@ _CONFIGS = [
 ]
 
 
-def _rows_under(spark, infer_ntz: str, tz: str):
-    """Run q_event_sessions with the parquet-read + timezone configs a
-    foreign driver session might use.  _views re-reads the parquet on
-    every call, so runtime conf changes take effect."""
+def _rows_under(spark, infer_ntz: str, tz: str, query=None):
+    """Run q_event_sessions (or another sessionization query) with the
+    parquet-read + timezone configs a foreign driver session might use.
+    _views re-reads the parquet on every call, so runtime conf changes
+    take effect."""
     from courlan_spark.plans.catalog import q_event_sessions
 
     old_ntz = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None)
@@ -37,7 +38,7 @@ def _rows_under(spark, infer_ntz: str, tz: str):
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", infer_ntz)
     spark.conf.set("spark.sql.session.timeZone", tz)
     try:
-        df = q_event_sessions(spark, SF_DIR)
+        df = (query or q_event_sessions)(spark, SF_DIR)
         read_type = spark.table("events").schema["ts"].dataType.typeName()
         rows = sorted(
             (r["user_id"], r["session_no"], r["n_events"],
@@ -77,3 +78,36 @@ def test_event_sessions_identical_under_all_read_configs(spark):
     # a tz-shifted run would move these by hours of microseconds
     first_start = baseline[0][3]
     assert 1_700_000_000_000_000 < first_start < 1_800_000_000_000_000
+
+
+def test_stream_sessions_identical_under_all_read_configs(spark):
+    """The streaming dual (q_stream_sessions) must be just as immune to
+    the consuming session's parquet-read + timezone configs: an NTZ
+    read is rebuilt as timestamp_micros(NTZ epoch diff) before the
+    watermark, an LTZ read already carries the raw stored micros, and
+    unix_micros emission is instant-based on both branches."""
+    from courlan_spark.plans.catalog import q_event_sessions, q_stream_sessions
+
+    results = {
+        cfg: _rows_under(spark, *cfg, query=q_stream_sessions) for cfg in _CONFIGS
+    }
+    # read_type from _rows_under reflects the "events" temp view, which
+    # q_stream_sessions does not register — recompute from a fresh read
+    read_types = set()
+    for infer_ntz, _tz in _CONFIGS:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", infer_ntz)
+        read_types.add(
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .schema["ts"].dataType.typeName()
+        )
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    assert read_types == {"timestamp_ntz", "timestamp"}, read_types
+
+    _, baseline = results[_CONFIGS[0]]
+    assert len(baseline) > 100
+    for cfg, (_rt, rows) in results.items():
+        assert rows == baseline, f"q_stream_sessions drifted under {cfg}"
+
+    # and the streaming dual equals the batch gap-and-island output
+    _, batch_rows = _rows_under(spark, "true", "UTC", query=q_event_sessions)
+    assert baseline == batch_rows

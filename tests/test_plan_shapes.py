@@ -200,3 +200,43 @@ def test_embedding_neardup_bucket_exchange_ships_ids_only(spark):
         assert "embedding" not in cols and "vec" not in cols.replace(
             "vec_id", ""
         ), f"embedding column crossed the bucket exchange: [{cols}]"
+
+
+def test_merge_scheme_variants_single_exchange(spark):
+    """The http↔https merge shuffles the frontier exactly ONCE (window
+    max over the scheme-less key).  The former groupBy+join shape paid
+    a second row-stream exchange once the distinct-host aggregate
+    outgrew broadcast — which at web scale (~10⁸ hosts) it always does."""
+    from courlan_spark.operators.frontier import merge_scheme_variants
+
+    df = spark.range(0, 2000).select(
+        F.concat(
+            F.when(F.col("id") % 3 == 0, F.lit("https://")).otherwise(
+                F.lit("http://")
+            ),
+            F.lit("h"),
+            (F.col("id") % 41).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.col("id").alias("seq"),
+    )
+    merged = merge_scheme_variants(df)
+    assert "Join" not in _optimized(merged)
+    assert _plan(merged).count("Exchange") == 1
+
+
+def test_bounded_cc_result_reads_materialized_partitions(spark):
+    """connected_components_bounded returns an Arrow-built,
+    localCheckpoint-ed frame: downstream actions must read materialized
+    executor-side partitions, NOT replay a py4j-pickled LocalRelation
+    per action (measured: the 120k-page bench's final join stage went
+    1.1s → 9.1s when ~10⁵ labels rode the pickled path)."""
+    from courlan_spark.operators.cc import connected_components_bounded
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 50, 2)], "src long, dst long"
+    )
+    out = connected_components_bounded(edges)
+    logical = out._jdf.queryExecution().logical().toString()
+    assert "LogicalRDD" in logical, logical
+    assert out.count() == 50
