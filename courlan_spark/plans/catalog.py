@@ -248,6 +248,63 @@ URL_PARTS_BANK: list[dict] = [
 ]
 
 
+# §2.3 hostinfo bank: extract_domain through BOTH resolver paths (the
+# full-PSL slow lookup and the reference's fast regex shortcut) plus
+# get_base_url.  The slow column is the first driver-gate surface that
+# exercises the complete generated ICANN table (urlkit/psl_data.py):
+# wildcard (*.kawasaki.jp), exception (!city.kawasaki.jp) and
+# multi-label (co.uk / gov.uk / gov.au) rules all appear, so a PSL
+# regression now fails the official gate, not just pytest.  Expected
+# values pinned per template; pinned to the scalar layer in
+# tests/test_catalog_oracles.py::test_hostinfo_bank and verified
+# against the reference implementation (shimmed tld) there too.
+# Parity: urlutils.py:24-58 (get_tldinfo/extract_domain),
+# urlutils.py:72-80 (get_base_url), urlutils.py:99-103 (get_hostinfo).
+HOSTINFO_BANK: list[dict] = [
+    {"url": "concat('https://www.example.co.uk/p/', {ID})",
+     "domain_psl": "'example.co.uk'", "domain_fast": "'example.co.uk'",
+     "base_url": "'https://www.example.co.uk'"},
+    # port stripped for the domain, kept in the base URL
+    {"url": "concat('http://deep.sub.example.com:8080/', {ID})",
+     "domain_psl": "'example.com'", "domain_fast": "'example.com'",
+     "base_url": "'http://deep.sub.example.com:8080'"},
+    # PSL exception rule !city.kawasaki.jp: the slow path keeps the
+    # full name; the fast regex shortcut stops at two labels
+    {"url": "concat('https://city.kawasaki.jp/', {ID})",
+     "domain_psl": "'city.kawasaki.jp'", "domain_fast": "'kawasaki.jp'",
+     "base_url": "'https://city.kawasaki.jp'"},
+    # PSL wildcard rule *.kawasaki.jp: suffix = bar.kawasaki.jp
+    {"url": "concat('https://foo.bar.kawasaki.jp/', {ID})",
+     "domain_psl": "'foo.bar.kawasaki.jp'", "domain_fast": "'kawasaki.jp'",
+     "base_url": "'https://foo.bar.kawasaki.jp'"},
+    {"url": "concat('https://example.gov.uk/', {ID})",
+     "domain_psl": "'example.gov.uk'", "domain_fast": "'example.gov.uk'",
+     "base_url": "'https://example.gov.uk'"},
+    # unlisted single-label host: unresolvable on either path
+    {"url": "concat('https://localhost/', {ID})",
+     "domain_psl": "NULL", "domain_fast": "NULL",
+     "base_url": "'https://localhost'"},
+    # bare IPv4: no registrable domain; the fast regex accepts it
+    # verbatim (reference behavior, pinned as-is)
+    {"url": "concat('https://192.168.0.1/x-', {ID})",
+     "domain_psl": "NULL", "domain_fast": "'192.168.0.1'",
+     "base_url": "'https://192.168.0.1'"},
+    # trailing-dot FQDN: the PSL lookup strips the dot, the fast
+    # regex and the base URL keep it
+    {"url": "concat('https://example.com./', {ID})",
+     "domain_psl": "'example.com'", "domain_fast": "'example.com.'",
+     "base_url": "'https://example.com.'"},
+    {"url": "concat('https://shop.example.org/item-', {ID})",
+     "domain_psl": "'example.org'", "domain_fast": "'example.org'",
+     "base_url": "'https://shop.example.org'"},
+    # gov.au is the public suffix: slow resolves the state label,
+    # fast stops one label deeper
+    {"url": "concat('https://www.library.nsw.gov.au/', {ID})",
+     "domain_psl": "'nsw.gov.au'", "domain_fast": "'library.nsw.gov.au'",
+     "base_url": "'https://www.library.nsw.gov.au'"},
+]
+
+
 # §2.2 crawl-heuristic bank: is_navigation_page / is_not_crawlable
 # (parity filters.py:282-291) as native rlike columns.  Expected
 # booleans pinned per template; verified against the scalar layer in
@@ -354,6 +411,27 @@ FROM documents
 """
 
 
+def _hostinfo_case(field: str) -> str:
+    "CASE expression over HOSTINFO_BANK selecting `field` by doc_id."
+    arms = []
+    for k, entry in enumerate(HOSTINFO_BANK):
+        frag = entry[field].replace("{ID}", "cast(doc_id as string)")
+        arms.append(f"WHEN {k} THEN {frag}")
+    return f"CASE doc_id % {len(HOSTINFO_BANK)} " + " ".join(arms) + " END"
+
+
+HOSTINFO_SQL = f"SELECT doc_id, {_hostinfo_case('url')} AS url FROM documents"
+
+HOSTINFO_ORACLE = f"""
+SELECT doc_id,
+       {_hostinfo_case('url')} AS url,
+       {_hostinfo_case('domain_psl')} AS domain_psl,
+       {_hostinfo_case('domain_fast')} AS domain_fast,
+       {_hostinfo_case('base_url')} AS base_url
+FROM documents
+"""
+
+
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     for name in names:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
@@ -453,6 +531,30 @@ def q_url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_hp.host").alias("host"),
         F.col("_hp.path").alias("path"),
         is_external_udf(F.col("fixed_url"), F.col("page_url")).alias("external"),
+    )
+
+
+def q_hostinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_hostinfo surface over the HOSTINFO_BANK: registrable domain
+    through BOTH resolver paths (domain_psl = the full generated ICANN
+    table, domain_fast = the reference's regex shortcut) plus the base
+    URL.  One Arrow batch per column over a single projected scan; the
+    two domain UDFs share the vectorized kernel, only the `fast` flag
+    differs.  Oracle = template-pinned expectations (HOSTINFO_ORACLE),
+    themselves pinned to the scalar parity layer by a unit test.
+    Parity: urlutils.py:24-58,72-80,99-103."""
+    from ..functions.url_udfs import base_url_udf, make_extract_domain_udf
+
+    _views(spark, sf_dir, "documents")
+    urls = spark.sql(HOSTINFO_SQL)
+    domain_psl_udf = make_extract_domain_udf(fast=False)
+    domain_fast_udf = make_extract_domain_udf(fast=True)
+    return urls.select(
+        "doc_id",
+        "url",
+        domain_psl_udf(F.col("url")).alias("domain_psl"),
+        domain_fast_udf(F.col("url")).alias("domain_fast"),
+        base_url_udf(F.col("url")).alias("base_url"),
     )
 
 
@@ -1168,6 +1270,7 @@ def q_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 ORACLES: dict[str, str] = {
     "q_check_url_bank": URLBANK_ORACLE,
     "q_url_parts": URL_PARTS_ORACLE,
+    "q_hostinfo": HOSTINFO_ORACLE,
     "q_nav_flags": NAV_FLAGS_ORACLE,
     "q_new_links": NEW_LINKS_ORACLE,
     "q_check_url_bank_strict": URLBANK_STRICT_ORACLE,
@@ -1820,6 +1923,7 @@ QUERIES = {
     "q_check_url_bank": q_check_url_bank,
     "q_check_url_bank_strict": q_check_url_bank_strict,
     "q_url_parts": q_url_parts,
+    "q_hostinfo": q_hostinfo,
     "q_nav_flags": q_nav_flags,
     "q_new_links": q_new_links,
     "q_clean_urls": q_clean_urls,

@@ -122,6 +122,31 @@ def test_nav_flags_bank(doc_id):
         assert is_not_crawlable(url) is noncrawl, (k, url)
 
 
+@pytest.mark.parametrize("doc_id", [0, 7, 123])
+def test_hostinfo_bank(doc_id):
+    """HOSTINFO_BANK pins == the scalar layer on BOTH resolver paths
+    (full-PSL slow lookup and the fast regex shortcut) + get_base_url."""
+    from courlan_spark.plans.catalog import HOSTINFO_BANK
+    from courlan_spark.urlkit.parts import extract_domain, get_base_url
+
+    def render(frag):
+        if frag == "NULL":
+            return None
+        return _render(frag, doc_id)
+
+    for k, entry in enumerate(HOSTINFO_BANK):
+        url = _render(entry["url"], doc_id)
+        assert extract_domain(url, fast=False) == render(entry["domain_psl"]), (
+            k,
+            url,
+        )
+        assert extract_domain(url, fast=True) == render(entry["domain_fast"]), (
+            k,
+            url,
+        )
+        assert get_base_url(url) == render(entry["base_url"]), (k, url)
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
