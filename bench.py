@@ -339,6 +339,31 @@ _CPU_PROBE_OK = 4.5   # Mops
 _DRAM_PROBE_OK = 15.0  # GB/s
 
 
+def _wait_for_calm(wait_pool: float, poll_secs: float = 45.0) -> dict:
+    """Pre-flight gate for a scaling pair: when the cheap probes show
+    the host visibly stolen (observed on 2026-08-17: dram probe
+    0.3 GB/s vs 20-24 idle — a neighbor owned the memory bus), a
+    ~6-minute pair started NOW is budget burned on measuring the
+    neighbor, and the post-hoc probe gate will discard it anyway.
+    Poll every `poll_secs` until both probes clear the SAME
+    pre-registered thresholds the post-hoc gate uses, or until
+    `wait_pool` seconds are spent; always return (the pair still runs
+    and records its own probes), so a permanently-contended window
+    degrades to the previous behavior — data with probes attached —
+    rather than producing no pairs at all."""
+    waited = 0.0
+    cpu, dram = _cpu_probe(), _dram_probe()
+    while (cpu < _CPU_PROBE_OK or dram < _DRAM_PROBE_OK) and waited < wait_pool:
+        time.sleep(min(poll_secs, max(wait_pool - waited, 1.0)))
+        waited += poll_secs
+        cpu, dram = _cpu_probe(), _dram_probe()
+    return {
+        "waited_secs": round(min(waited, wait_pool)),
+        "cpu_probe_mops": cpu,
+        "dram_probe_gbs": dram,
+    }
+
+
 def _run_pipeline(
     cpus: int,
     corpus_path: str,
@@ -727,6 +752,14 @@ def main() -> None:
                 )
 
             pairs = []
+            preflight = []
+            # waiting is cheaper than measuring a stolen window, but
+            # it must not eat the pair budget: at most ~4 min of the
+            # whole run may go to pre-flight calm-waits, first come
+            # first served
+            wait_pool = float(
+                os.environ.get("SPARK_GRAFT_BENCH_WAIT_POOL", "240")
+            )
             # top up to 2 extra pairs when fewer than 2 ran clean, so
             # one noisy window cannot leave the gate metric hostage;
             # top-up pairs may use up to 0.85 of the budget (the
@@ -743,6 +776,9 @@ def main() -> None:
                     sum(pair_clean(h, lo) for h, lo in pairs) >= 2
                 ):
                     break
+                pf = _wait_for_calm(wait_pool)
+                wait_pool -= pf["waited_secs"]
+                preflight.append(pf)
                 pairs.append(
                     (_run_pipeline(SCALE_HIGH, scaling_corpus_path,
                                    n_pages=SCALING_PAGES),
@@ -785,6 +821,10 @@ def main() -> None:
                 "docs_per_sec_high": high["docs_per_sec"],
                 "dram_probe_low": [r["dram_probe_gbs"] for r in low_runs],
                 "dram_probe_high": [r["dram_probe_gbs"] for r in high_runs],
+                # pre-flight calm-waits before each pair (sidecar
+                # only): how long the run held off a visibly-stolen
+                # window, and the probes that released it
+                "preflight": preflight,
                 "pair_efficiencies": [round(e, 3) for e in effs],
                 "efficiency_all_pairs": round(effs[len(effs) // 2], 3),
                 "least_contended_pair_efficiency": round(
@@ -864,7 +904,14 @@ def main() -> None:
             os.environ.get("SPARK_GRAFT_BENCH_INCREMENTAL", "1") != "0"
             and time.time() - started_at < budget
         ):
+            # same pre-flight as the scaling pairs: a stolen window
+            # turns the interleaved full/delta comparison into noise
+            # (observed pair_speedups 0.98 vs 2.13 across one run)
+            inc_pf = _wait_for_calm(
+                float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_POOL", "240")) / 2
+            )
             incremental = _incremental_bench_subprocess(corpus_path)
+            incremental["preflight"] = inc_pf
             # context: the headline full run (different allocation —
             # CPUS cores vs the ingest's right-sized half) for readers
             # comparing across sections
