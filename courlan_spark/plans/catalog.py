@@ -689,6 +689,75 @@ def q_download_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier lifecycle surfaces in one oracle-checked pass: hosts
+    whose number ends in 3 are DISCARDED (discard_hosts — rows pruned,
+    one BUSTED sentinel kept, urlstore.py:338-345), then per host the
+    DomainEntry state (host_aggregates: OPEN / ALL_VISITED / BUSTED),
+    the unvisited backlog, the download-threshold flag
+    (urlstore.py:542-544, >=5 visited real rows), and the first
+    unvisited URL in sorted order (the sorted-retrieval surface,
+    find_unvisited_urls), plus the global done test
+    (urlstore.py:213-216) broadcast onto every row.
+
+    Two host-keyed aggregations feed one host-keyed join — same key,
+    so the exchange is reused rather than re-partitioned; the
+    single-row done aggregate rides a broadcast.  (A production pass
+    would fuse state+extras into ONE groupBy; the split here
+    deliberately drives the real host_aggregates operator.)"""
+    from ..operators import frontier as FR
+
+    f = _frontier_df(spark, sf_dir)
+    busted_hosts = (
+        f.select("host")
+        .where((F.regexp_extract("host", r"host(\d+)", 1).cast("int") % 10) == 3)
+        .distinct()
+    )
+    eff = FR.discard_hosts(f, busted_hosts)
+    state = FR.host_aggregates(eff)
+    real = F.col("path").isNotNull()
+    extras = eff.groupBy("host").agg(
+        F.sum((real & ~F.col("visited")).cast("long")).alias("n_unvisited"),
+        (F.sum((F.col("visited") & real).cast("long")) >= F.lit(5)).alias(
+            "threshold_reached"
+        ),
+        F.min(
+            F.when(real & ~F.col("visited"), F.concat("host", "path"))
+        ).alias("first_unvisited"),
+    )
+    done = eff.agg(F.bool_and("visited").alias("crawl_done"))
+    return state.join(extras, "host").crossJoin(F.broadcast(done))
+
+
+FRONTIER_STATE_ORACLE = f"""
+WITH frontier AS ({FRONTIER_SQL}),
+marked AS (
+    SELECT *, cast(regexp_extract(host, 'host([0-9]+)', 1) as int) % 10 = 3
+           AS busted
+    FROM frontier),
+eff AS (
+    SELECT host, path, visited, FALSE AS busted FROM marked WHERE NOT busted
+    UNION ALL
+    SELECT DISTINCT host, NULL AS path, TRUE AS visited, TRUE AS busted
+    FROM marked WHERE busted)
+SELECT host,
+       cast(count(path) as bigint) AS total,
+       cast(count(*) FILTER (WHERE visited AND path IS NOT NULL) as bigint)
+           AS visited_count,
+       CASE WHEN bool_or(busted) THEN 'BUSTED'
+            WHEN bool_and(visited) THEN 'ALL_VISITED'
+            ELSE 'OPEN' END AS state,
+       cast(count(*) FILTER (WHERE path IS NOT NULL AND NOT visited) as bigint)
+           AS n_unvisited,
+       count(*) FILTER (WHERE visited AND path IS NOT NULL) >= 5
+           AS threshold_reached,
+       min(CASE WHEN path IS NOT NULL AND NOT visited
+                THEN concat(host, path) END) AS first_unvisited,
+       (SELECT bool_and(visited) FROM eff) AS crawl_done
+FROM eff GROUP BY host
+"""
+
+
 def q_filter_unknown_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Probe URLs absent from the frontier (anti-join via host/path UDF)."
     _views(spark, sf_dir, "customer")
@@ -1315,6 +1384,7 @@ ORACLES: dict[str, str] = {
         FROM ranked, quota WHERE rn <= q
         ORDER BY schedule_secs, host, url LIMIT 100
     """,
+    "q_frontier_state": FRONTIER_STATE_ORACLE,
     "q_filter_unknown_urls": f"""
         WITH frontier AS ({FRONTIER_SQL}), probe AS ({PROBE_HP_SQL})
         SELECT p.url FROM probe p
@@ -1936,6 +2006,7 @@ QUERIES = {
     "q_host_aggregates": q_host_aggregates,
     "q_frontier_next_urls": q_frontier_next_urls,
     "q_download_schedule": q_download_schedule,
+    "q_frontier_state": q_frontier_state,
     "q_filter_unknown_urls": q_filter_unknown_urls,
     "q_filter_unvisited_urls": q_filter_unvisited_urls,
     "q_domain_sample": q_domain_sample,
