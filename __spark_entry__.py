@@ -3,7 +3,7 @@
 entry(spark)   — flagship near-dup pipeline slice on sf0.001.
 queries()      — operator catalog (SURVEY.md §2 + training-data ops),
                  implemented in courlan_spark.plans.catalog.
-oracle_sql()   — DuckDB ground-truth SQL for EVERY query (36/36): the
+oracle_sql()   — DuckDB ground-truth SQL for EVERY query (45/45): the
                  kernel surfaces (MinHash/SimHash/LSH/suffix/ANN/
                  removal) are checked against independent re-derivations
                  (rolling-hash shingles, splitmix64 in HUGEINT
