@@ -32,14 +32,20 @@ def token_count_col(text: Column) -> Column:
 
 
 def bpe_ish_token_count_col(text: Column) -> Column:
-    """Sub-word-ish token count: words, numbers and punctuation runs
-    counted separately (a cheap BPE proxy for budget estimation)."""
-    return F.size(
-        F.filter(
-            F.split(text, r"(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"),
-            lambda t: F.length(F.trim(t)) > 0,
-        )
-    )
+    """Sub-word-ish token count (a cheap BPE proxy for training-budget
+    estimation): each maximal letter/digit run counts once, and every
+    other non-whitespace character counts as its own token.
+
+    Equivalent to splitting at every alnum/non-alnum boundary and
+    dropping whitespace tokens, but computed as two native regex
+    counts — no lookaround split, no array materialization, and no
+    dependence on trim()'s space-only semantics (the earlier
+    split-based form counted stray tabs/newlines as tokens).  The
+    whitespace class is spelled out explicitly so the DuckDB oracle
+    (RE2) and Spark (Java regex) agree byte-for-byte."""
+    runs = F.regexp_count(text, F.lit(r"[\p{L}\p{N}]+"))
+    symbols = F.length(F.regexp_replace(text, "[\\p{L}\\p{N} \t\n\r\f]", ""))
+    return runs + symbols
 
 
 def quality_features_cols(text: Column) -> list[Column]:

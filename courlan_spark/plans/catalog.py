@@ -860,13 +860,18 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    "Whitespace token counts + char count per document."
+    """Whitespace + BPE-ish token counts and char count per document
+    (the two tokenizer surfaces the training-budget estimator needs;
+    all native regex expressions, no Python)."""
     _views(spark, sf_dir, "documents")
     docs = spark.table("documents")
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_actual"),
         T.token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        T.bpe_ish_token_count_col(F.col("text"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 
@@ -1466,14 +1471,20 @@ ORACLES: dict[str, str] = {
         JOIN counts cb ON cb.doc_id = doc_b
         WHERE n_common / (ca.n + cb.n - n_common) >= 0.4
     """,
-    "q_token_stats": r"""
-        SELECT doc_id,
-               cast(length(text) as bigint) AS n_chars_actual,
-               cast(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END as bigint)
-                   AS n_tokens
-        FROM documents
-    """,
+    "q_token_stats": "\n".join([
+        r"SELECT doc_id,",
+        r"       cast(length(text) as bigint) AS n_chars_actual,",
+        r"       cast(CASE WHEN length(trim(text)) = 0 THEN 0",
+        r"            ELSE len(regexp_split_to_array(trim(text), '\s+')) END",
+        r"            as bigint) AS n_tokens,",
+        # BPE-ish: alnum runs + each remaining non-whitespace char
+        # (RE2 \pL/\pN == Java \p{L}/\p{N}; whitespace class spelled
+        # out identically on both engines)
+        r"       cast(len(regexp_extract_all(text, '[\pL\pN]+'))",
+        "            + length(regexp_replace(text, '[\\pL\\pN \t\n\r\f]', '', 'g'))",
+        r"            as bigint) AS n_bpe_tokens",
+        r"FROM documents",
+    ]),
     "q_quality_scores": r"""
         SELECT doc_id,
                cast(length(text) as bigint) AS n_chars,

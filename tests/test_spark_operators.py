@@ -459,3 +459,43 @@ def test_remove_duplicate_blocks_default_accounting_is_unconditional(spark):
     metrics = dict(obs.get)
     assert metrics["refs_kept"] == sum(min(i, 4) for i in range(n))
     assert metrics["refs_dropped"] == n * (n - 1) // 2 - metrics["refs_kept"]
+
+
+def test_bpe_ish_token_count_matches_python_model(spark):
+    """bpe_ish_token_count_col == the boundary-split model: maximal
+    letter/digit runs count once, every other non-whitespace char is
+    its own token, whitespace contributes nothing.  Exercises unicode
+    letters, digit/letter mixes, punctuation runs, and the tab/newline
+    case the earlier split-based form miscounted."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from courlan_spark.functions.text import bpe_ish_token_count_col
+
+    def model(s: str) -> int:
+        runs = len(re.findall(r"[^\W_]+", s, flags=re.UNICODE))
+        symbols = len(re.sub(r"[^\W_]| |\t|\n|\r|\f", "", s, flags=re.UNICODE))
+        return runs + symbols
+
+    bank = [
+        "plain words here",
+        "dots...and!!marks",
+        "a1b2 mixed42runs",
+        "tabs\tand\nnewlines\r\nhere",
+        "unicode crème brûlée à 3€",
+        "under_score-is_two tokens",
+        "",
+        "   ",
+        "!@#$%",
+        "end.",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(bank)], "i long, s string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", bpe_ish_token_count_col(F.col("s")).alias("n")
+        ).collect()
+    }
+    for i, s in enumerate(bank):
+        assert got[i] == model(s), (i, s, got[i], model(s))
