@@ -98,3 +98,46 @@ def new_links_only(
     keyed = links.withColumn("_ck", canonical_key_col(F.col(link_col)))
     known_keys = known.select(canonical_key_col(F.col(known_url_col)).alias("_ck")).distinct()
     return keyed.join(known_keys, "_ck", "left_anti").drop("_ck")
+
+
+# Case-insensitive feed-host whitelist (parity: RX_FEED_WHITELIST,
+# urlutils.py:123-134) as a native rlike pattern.
+_FEED_WHITELIST_PATTERN = r"(?i)feed(?:burner|proxy)"
+
+
+def filter_url_lists(
+    links: DataFrame,
+    url_col: str = "link",
+    filter_col: str = "urlfilter",
+    group_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed filter_urls (parity urlutils.py:123-134): per-group
+    substring filter over a link list with a feed-host fallback when
+    nothing matches, deduplicated.  A NULL filter keeps every link.
+
+    Plan: ONE window aggregation on the group key decides per group
+    whether the substring matched anything (no join, no second scan of
+    the link stream), then the conditional keep and a distinct on
+    (group, link).  The distinct reuses the window's hash partitioning
+    on the group key, so at 10^12 links this is two exchanges total and
+    the fallback groups never collect their links anywhere.
+    """
+    from pyspark.sql import Window
+
+    hit = F.col(filter_col).isNotNull() & F.col(url_col).contains(
+        F.col(filter_col)
+    )
+    any_hit = F.max(hit.cast("int")).over(Window.partitionBy(group_col)) == 1
+    tagged = links.select(
+        F.col(group_col),
+        F.col(url_col).alias("link"),
+        F.col(filter_col),
+        hit.alias("_hit"),
+        (F.col(filter_col).isNotNull() & ~any_hit).alias("used_fallback"),
+    )
+    keep = (
+        F.col(filter_col).isNull()
+        | F.col("_hit")
+        | (F.col("used_fallback") & F.col("link").rlike(_FEED_WHITELIST_PATTERN))
+    )
+    return tagged.where(keep).select(group_col, "link", "used_fallback").distinct()

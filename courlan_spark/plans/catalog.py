@@ -1996,9 +1996,64 @@ def q_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# §2.3 filter_urls bank: 6 candidate links per document (one an exact
+# duplicate, to prove the dedup) with a per-document substring filter
+# that exercises all three branches — doc_id%3==0 matches 'category'
+# links, %3==1 has NO filter (keep all, distinct), %3==2 filters on
+# 'shop' which matches nothing, so the feed-host whitelist fallback
+# fires (RX_FEED_WHITELIST is case-insensitive: the bank spells one
+# host 'FeedBurner' to pin the (?i)).  The 6-slot expansion is a
+# portable UNION-ALL derived table (same text runs on Spark and DuckDB).
+FILTER_URLS_SQL = """
+SELECT doc_id,
+       CASE cast(doc_id % 3 as int) WHEN 0 THEN 'category'
+                                    WHEN 2 THEN 'shop' END AS urlfilter,
+       CASE slot
+         WHEN 0 THEN concat('https://ex.com/category/abc-', cast(doc_id as string))
+         WHEN 1 THEN 'https://ex.com/category/xyz'
+         WHEN 2 THEN concat('https://ex.com/post/', cast(doc_id as string))
+         WHEN 3 THEN 'https://FeedBurner.google.com/ex'
+         WHEN 4 THEN concat('https://feedproxy.google.com/x-', cast(doc_id as string))
+         WHEN 5 THEN concat('https://ex.com/category/abc-', cast(doc_id as string))
+       END AS link
+FROM documents
+CROSS JOIN (SELECT 0 AS slot UNION ALL SELECT 1 UNION ALL SELECT 2
+            UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5) slots
+"""
+
+FILTER_URLS_ORACLE = f"""
+WITH links AS ({FILTER_URLS_SQL}),
+m AS (
+  SELECT doc_id, urlfilter, link,
+         (urlfilter IS NOT NULL AND contains(link, urlfilter)) AS hit
+  FROM links),
+g AS (SELECT doc_id, bool_or(hit) AS any_hit FROM m GROUP BY doc_id)
+SELECT DISTINCT m.doc_id, link,
+       (urlfilter IS NOT NULL AND NOT any_hit) AS used_fallback
+FROM m JOIN g USING (doc_id)
+WHERE urlfilter IS NULL OR hit
+   OR (NOT any_hit AND regexp_matches(link, 'feed(burner|proxy)', 'i'))
+"""
+
+
+def q_filter_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_urls as a distributed per-group pass (urlutils.py:123-134):
+    substring filter over each document's link list, feed-host-whitelist
+    fallback when nothing matches, NULL filter keeps everything;
+    deduplicated.  One window aggregation on doc_id decides the
+    fallback — no join, no collected link lists (see
+    operators.links.filter_url_lists)."""
+    from ..operators.links import filter_url_lists
+
+    _views(spark, sf_dir, "documents")
+    links = spark.sql(FILTER_URLS_SQL)
+    return filter_url_lists(links)
+
+
 ORACLES["q_clean_urls"] = CLEANBANK_ORACLE
 ORACLES["q_host_merge"] = _HOST_MERGE_ORACLE
 ORACLES["q_rate_limited"] = _RATE_LIMITED_ORACLE
+ORACLES["q_filter_urls"] = FILTER_URLS_ORACLE
 
 QUERIES = {
     "q_check_url_bank": q_check_url_bank,
@@ -2010,6 +2065,7 @@ QUERIES = {
     "q_clean_urls": q_clean_urls,
     "q_host_merge": q_host_merge,
     "q_rate_limited": q_rate_limited,
+    "q_filter_urls": q_filter_urls,
     "q_robots_filtering": q_robots_filtering,
     "q_url_split_counts": q_url_split_counts,
     "q_url_canonical_dedup": q_url_canonical_dedup,

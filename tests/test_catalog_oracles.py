@@ -219,3 +219,45 @@ def test_catalog_outputs_only_hash_stable_types(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"non-hash-stable output columns: {offenders}"
+
+
+def test_filter_urls_frame_matches_scalar(spark):
+    """The distributed filter_url_lists pass must reproduce the scalar
+    filter_urls (urlutils.py:123-134) per document: substring filter,
+    feed-whitelist fallback when nothing matches, NULL filter keeps
+    all, sorted-set dedup.  Also pins the plan: ONE shuffle exchange
+    (the distinct's (doc_id, link) clustering is satisfied by the
+    window's doc_id hash partitioning) and a doc_id-only parquet scan."""
+    from courlan_spark.plans.catalog import FILTER_URLS_SQL, q_filter_urls
+    from courlan_spark.urlkit import filter_urls
+
+    df = q_filter_urls(spark, SF_DIR)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+    got: dict[int, set[str]] = {}
+    fallback_docs = set()
+    for r in df.collect():
+        got.setdefault(r["doc_id"], set()).add(r["link"])
+        if r["used_fallback"]:
+            fallback_docs.add(r["doc_id"])
+
+    bank: dict[int, tuple[str | None, list[str]]] = {}
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    for r in spark.sql(FILTER_URLS_SQL).collect():
+        bank.setdefault(r["doc_id"], (r["urlfilter"], []))[1].append(r["link"])
+
+    expected = {
+        doc_id: set(filter_urls(links, urlfilter))
+        for doc_id, (urlfilter, links) in bank.items()
+    }
+    expected = {d: s for d, s in expected.items() if s}
+    assert got == expected
+    # fallback fires exactly for the 'shop' filter (doc_id % 3 == 2):
+    # nothing contains 'shop', so the feed whitelist kicks in
+    assert fallback_docs == {d for d in bank if d % 3 == 2}
+    assert len(got) == len(bank)  # every doc keeps at least one link
