@@ -1996,6 +1996,49 @@ def q_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# §2.1 line-batch file scan: the URL_BANK written to a REAL text file
+# (one URL per line, whitespace-padded for doc_id%4==0, plus blank
+# lines for half the documents) and read back through the urlfile
+# source — read_url_list's trim + blank-drop and check_urls' single
+# vectorized pass are what the gate certifies.  The oracle recomputes
+# the expected (url, norm_url, domain, ok) rows from the same bank
+# templates, untouched by the padding/blank noise.
+URLFILE_LINES_SQL = f"""
+SELECT CASE WHEN slot = 1 THEN ''
+            WHEN doc_id % 4 = 0 THEN concat('  ', {_bank_case("raw")}, ' ')
+            ELSE {_bank_case("raw")} END AS value
+FROM documents
+CROSS JOIN (SELECT 0 AS slot UNION ALL SELECT 1) slots
+WHERE slot = 0 OR doc_id % 2 = 0
+"""
+
+URLFILE_SCAN_ORACLE = f"""
+SELECT {_bank_case("raw")} AS url,
+       {_bank_case("norm")} AS norm_url,
+       {_bank_domain_case()} AS domain,
+       {_bank_case("norm")} IS NOT NULL AS ok
+FROM documents
+"""
+
+
+def q_url_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-batch URL-file ingestion (§2.1, parity cli.py:102-176):
+    write the bank as a real one-URL-per-line text file (with padded
+    and blank lines), scan it back via the urlfile source, and run the
+    fused check pass.  Exactly one check-UDF evaluation feeds both the
+    valid and discarded populations (the two-sink split reads the same
+    `ok` column)."""
+    import os
+    import tempfile
+
+    from ..sources.urlfile import check_urls, read_url_list
+
+    _views(spark, sf_dir, "documents")
+    target = os.path.join(tempfile.mkdtemp(prefix="urlfile_gate_"), "urls")
+    spark.sql(URLFILE_LINES_SQL).write.mode("overwrite").text(target)
+    return check_urls(read_url_list(spark, target))
+
+
 # §2.3 filter_urls bank: 6 candidate links per document (one an exact
 # duplicate, to prove the dedup) with a per-document substring filter
 # that exercises all three branches — doc_id%3==0 matches 'category'
@@ -2054,6 +2097,7 @@ ORACLES["q_clean_urls"] = CLEANBANK_ORACLE
 ORACLES["q_host_merge"] = _HOST_MERGE_ORACLE
 ORACLES["q_rate_limited"] = _RATE_LIMITED_ORACLE
 ORACLES["q_filter_urls"] = FILTER_URLS_ORACLE
+ORACLES["q_url_file_scan"] = URLFILE_SCAN_ORACLE
 
 QUERIES = {
     "q_check_url_bank": q_check_url_bank,
@@ -2066,6 +2110,7 @@ QUERIES = {
     "q_host_merge": q_host_merge,
     "q_rate_limited": q_rate_limited,
     "q_filter_urls": q_filter_urls,
+    "q_url_file_scan": q_url_file_scan,
     "q_robots_filtering": q_robots_filtering,
     "q_url_split_counts": q_url_split_counts,
     "q_url_canonical_dedup": q_url_canonical_dedup,
