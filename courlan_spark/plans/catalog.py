@@ -2079,6 +2079,33 @@ WHERE urlfilter IS NULL OR hit
 """
 
 
+def q_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot persistence (§2.1, parity urlstore.py:573-583) inside
+    the oracle gate: the frontier's even-seq half written as a
+    range-sorted snapshot through the table seam, the odd-seq half
+    APPENDED, the result read back and aggregated.  The oracle is the
+    same per-host SQL as q_host_aggregates computed directly from the
+    synthesis — equal output proves write_snapshot/append_rows/
+    read_snapshot round-trip rows exactly (the resume surface)."""
+    import os
+    import tempfile
+
+    from ..operators import frontier as FR
+    from ..sources import tables as T
+
+    f = _frontier_df(spark, sf_dir)
+    target = os.path.join(tempfile.mkdtemp(prefix="snapshot_gate_"), "frontier")
+    T.write_snapshot(f.where("seq % 2 = 0"), target, order_by=["host"])
+    T.append_rows(f.where("seq % 2 = 1"), target)
+    back = T.read_snapshot(spark, target)
+    return FR.host_aggregates(back).select(
+        "host",
+        F.col("total").cast("long").alias("total"),
+        F.col("visited_count").cast("long").alias("visited_count"),
+        "state",
+    )
+
+
 def q_filter_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter_urls as a distributed per-group pass (urlutils.py:123-134):
     substring filter over each document's link list, feed-host-whitelist
@@ -2098,6 +2125,7 @@ ORACLES["q_host_merge"] = _HOST_MERGE_ORACLE
 ORACLES["q_rate_limited"] = _RATE_LIMITED_ORACLE
 ORACLES["q_filter_urls"] = FILTER_URLS_ORACLE
 ORACLES["q_url_file_scan"] = URLFILE_SCAN_ORACLE
+ORACLES["q_snapshot_roundtrip"] = ORACLES["q_host_aggregates"]
 
 QUERIES = {
     "q_check_url_bank": q_check_url_bank,
@@ -2111,6 +2139,7 @@ QUERIES = {
     "q_rate_limited": q_rate_limited,
     "q_filter_urls": q_filter_urls,
     "q_url_file_scan": q_url_file_scan,
+    "q_snapshot_roundtrip": q_snapshot_roundtrip,
     "q_robots_filtering": q_robots_filtering,
     "q_url_split_counts": q_url_split_counts,
     "q_url_canonical_dedup": q_url_canonical_dedup,

@@ -236,6 +236,10 @@ class DedupPipeline:
     # skipping for the candidate-id predicates the delta verify pushes
     # (Iceberg sorted-write-order analog; see tables.write_snapshot)
     _STAGE_ORDER = {"02_url_dedup": ["doc_id"], "04_fingerprints": ["doc_id"]}
+    # the same snapshots also carry parquet bloom filters on doc_id:
+    # range sort gives FILE skipping on the candidate-id predicates,
+    # blooms add ROW-GROUP point skipping inside the surviving files
+    _STAGE_BLOOM = {"02_url_dedup": ["doc_id"], "04_fingerprints": ["doc_id"]}
 
     def _stage(self, name: str, build, resume: bool, kind: str = "snapshot") -> DataFrame:
         if self.config.snapshot_mode == "minimal" and kind != "snapshot":
@@ -257,7 +261,12 @@ class DedupPipeline:
             )
             return df
         df = build()
-        _write_snapshot(df, path, order_by=self._STAGE_ORDER.get(name))
+        _write_snapshot(
+            df,
+            path,
+            order_by=self._STAGE_ORDER.get(name),
+            bloom_cols=self._STAGE_BLOOM.get(name),
+        )
         out = _read_snapshot(self.spark, path)
         metric = {
             "stage": name,

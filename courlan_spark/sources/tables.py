@@ -28,7 +28,11 @@ TABLE_FORMAT = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
 
 
 def write_snapshot(
-    df: DataFrame, target: str, order_by: list[str] | None = None
+    df: DataFrame,
+    target: str,
+    order_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_ndv: int = 1_000_000,
 ) -> None:
     """Replace the table/directory contents with df (new snapshot).
 
@@ -38,13 +42,29 @@ def write_snapshot(
     predicates (the parquet analog of Iceberg's sorted write order /
     z-order).  Costs one ranged exchange at write time; pays off on
     every later selective read — the incremental path's store scans
-    push candidate-id predicates into exactly these snapshots."""
+    push candidate-id predicates into exactly these snapshots.
+
+    ``bloom_cols``: additionally store parquet bloom filters for these
+    columns (``bloom_ndv`` expected distinct values per file), giving
+    the reader ROW-GROUP-level point skipping for = / In predicates
+    inside files that min/max range skipping alone keeps — at 10^12
+    rows a delta's candidate ids hit a tiny fraction of the row groups
+    within the overlapping key range.  parquet-mr applies the filters
+    transparently during pushdown (parquet.filter.bloom.enabled
+    defaults true).  Iceberg backend: the equivalent is the table
+    property write.parquet.bloom-filter-enabled.column.<col>=true,
+    set at table creation (writeTo(...).tableProperty(...))."""
     if order_by:
         df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
     if TABLE_FORMAT == "iceberg":
         df.writeTo(target).createOrReplace()
     else:
-        df.write.mode("overwrite").parquet(target)
+        writer = df.write.mode("overwrite")
+        for col in bloom_cols or []:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{col}", "true"
+            ).option(f"parquet.bloom.filter.expected.ndv#{col}", str(bloom_ndv))
+        writer.parquet(target)
 
 
 def append_rows(df: DataFrame, target: str) -> None:
