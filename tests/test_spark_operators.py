@@ -499,3 +499,35 @@ def test_bpe_ish_token_count_matches_python_model(spark):
     }
     for i, s in enumerate(bank):
         assert got[i] == model(s), (i, s, got[i], model(s))
+
+
+def test_filter_url_lists_randomized_parity(spark):
+    """filter_url_lists vs the scalar filter_urls over 200 random link
+    lists (seeded): substring hits, feed fallback, NULL filter, dups,
+    and groups where even the fallback returns nothing."""
+    import random
+
+    from courlan_spark.operators.links import filter_url_lists
+    from courlan_spark.urlkit import filter_urls
+
+    rng = random.Random(20260817)
+    pieces = ["cat", "dog", "shop", "feedburner", "FeedProxy", "x", "zzz"]
+    rows, truth = [], {}
+    for gid in range(200):
+        urlfilter = rng.choice([None, "cat", "shop", "q"])
+        links = [
+            "https://h%d.example.com/%s/%s" % (
+                rng.randrange(3), rng.choice(pieces), rng.choice(pieces)
+            )
+            for _ in range(rng.randrange(1, 8))
+        ]
+        links += rng.sample(links, k=min(2, len(links)))  # duplicates
+        rows += [(gid, urlfilter, l) for l in links]
+        truth[gid] = set(filter_urls(links, urlfilter))
+    truth = {g: s for g, s in truth.items() if s}
+
+    df = spark.createDataFrame(rows, "doc_id long, urlfilter string, link string")
+    got = {}
+    for r in filter_url_lists(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["link"])
+    assert got == truth
