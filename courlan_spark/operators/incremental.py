@@ -247,7 +247,7 @@ def prune_store_by_pair_ids(
     distinct doc ids appearing in the (small, persisted) candidate
     pair frames are collected — bounded by ``cap`` — and pushed into
     the store scan as an In predicate.  With store snapshots written
-    range-sorted by doc_id (pipeline._STAGE_ORDER), parquet footer
+    range-sorted by doc_id (pipeline._STAGE_KEY_COLS), parquet footer
     min/max statistics then skip every file holding no candidate
     partner: the delta verify reads store rows proportional to the
     candidate set, not the corpus (round-3 judge gap #3; the Iceberg

@@ -118,9 +118,11 @@ def filter_url_lists(
     Plan: ONE window aggregation on the group key decides per group
     whether the substring matched anything (no join, no second scan of
     the link stream), then the conditional keep and a distinct on
-    (group, link).  The distinct reuses the window's hash partitioning
-    on the group key, so at 10^12 links this is two exchanges total and
-    the fallback groups never collect their links anywhere.
+    (group, link).  The distinct's clustering requirement is satisfied
+    by the window's hashpartitioning on the group key (partitioning-
+    subset reuse), so this is ONE exchange total — pinned by
+    tests/test_catalog_oracles.py — and the fallback groups never
+    collect their links anywhere.
     """
     from pyspark.sql import Window
 

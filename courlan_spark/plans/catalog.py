@@ -1996,6 +1996,23 @@ def q_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gate_scratch(kind: str, leaf: str) -> str:
+    """A FIXED per-process scratch path for gate queries that
+    materialize real files (file scan / snapshot round-trip).  Fixed —
+    not mkdtemp per call — so repeated gate runs overwrite instead of
+    accumulating copies of the bank in /tmp; the pid suffix keeps
+    concurrent gate processes apart.  The query must write with
+    mode("overwrite")."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"courlan_gate_{os.getpid()}", kind
+    )
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, leaf)
+
+
 # §2.1 line-batch file scan: the URL_BANK written to a REAL text file
 # (one URL per line, whitespace-padded for doc_id%4==0, plus blank
 # lines for half the documents) and read back through the urlfile
@@ -2028,13 +2045,10 @@ def q_url_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused check pass.  Exactly one check-UDF evaluation feeds both the
     valid and discarded populations (the two-sink split reads the same
     `ok` column)."""
-    import os
-    import tempfile
-
     from ..sources.urlfile import check_urls, read_url_list
 
     _views(spark, sf_dir, "documents")
-    target = os.path.join(tempfile.mkdtemp(prefix="urlfile_gate_"), "urls")
+    target = _gate_scratch("urlfile", "urls")
     spark.sql(URLFILE_LINES_SQL).write.mode("overwrite").text(target)
     return check_urls(read_url_list(spark, target))
 
@@ -2087,14 +2101,11 @@ def q_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     same per-host SQL as q_host_aggregates computed directly from the
     synthesis — equal output proves write_snapshot/append_rows/
     read_snapshot round-trip rows exactly (the resume surface)."""
-    import os
-    import tempfile
-
     from ..operators import frontier as FR
     from ..sources import tables as T
 
     f = _frontier_df(spark, sf_dir)
-    target = os.path.join(tempfile.mkdtemp(prefix="snapshot_gate_"), "frontier")
+    target = _gate_scratch("snapshot", "frontier")
     T.write_snapshot(f.where("seq % 2 = 0"), target, order_by=["host"])
     T.append_rows(f.where("seq % 2 = 1"), target)
     back = T.read_snapshot(spark, target)

@@ -235,11 +235,11 @@ class DedupPipeline:
     # range-sorted by doc_id, so parquet footer min/max support file
     # skipping for the candidate-id predicates the delta verify pushes
     # (Iceberg sorted-write-order analog; see tables.write_snapshot)
-    _STAGE_ORDER = {"02_url_dedup": ["doc_id"], "04_fingerprints": ["doc_id"]}
-    # the same snapshots also carry parquet bloom filters on doc_id:
-    # range sort gives FILE skipping on the candidate-id predicates,
-    # blooms add ROW-GROUP point skipping inside the surviving files
-    _STAGE_BLOOM = {"02_url_dedup": ["doc_id"], "04_fingerprints": ["doc_id"]}
+    # one fact: the key column the store stages are scanned by.  The
+    # snapshot is range-sorted by it (file skipping via footer min/max
+    # for the candidate-id predicates) AND carries a parquet bloom
+    # filter on it (row-group point skipping inside surviving files).
+    _STAGE_KEY_COLS = {"02_url_dedup": ["doc_id"], "04_fingerprints": ["doc_id"]}
 
     def _stage(self, name: str, build, resume: bool, kind: str = "snapshot") -> DataFrame:
         if self.config.snapshot_mode == "minimal" and kind != "snapshot":
@@ -264,8 +264,8 @@ class DedupPipeline:
         _write_snapshot(
             df,
             path,
-            order_by=self._STAGE_ORDER.get(name),
-            bloom_cols=self._STAGE_BLOOM.get(name),
+            order_by=self._STAGE_KEY_COLS.get(name),
+            bloom_cols=self._STAGE_KEY_COLS.get(name),
         )
         out = _read_snapshot(self.spark, path)
         metric = {

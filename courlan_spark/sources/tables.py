@@ -51,13 +51,18 @@ def write_snapshot(
     rows a delta's candidate ids hit a tiny fraction of the row groups
     within the overlapping key range.  parquet-mr applies the filters
     transparently during pushdown (parquet.filter.bloom.enabled
-    defaults true).  Iceberg backend: the equivalent is the table
-    property write.parquet.bloom-filter-enabled.column.<col>=true,
-    set at table creation (writeTo(...).tableProperty(...))."""
+    defaults true).  On the iceberg backend the same request becomes
+    the write.parquet.bloom-filter-enabled.column.<col> table
+    property, set below on the replace."""
     if order_by:
         df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
     if TABLE_FORMAT == "iceberg":
-        df.writeTo(target).createOrReplace()
+        writer_v2 = df.writeTo(target)
+        for col in bloom_cols or []:
+            writer_v2 = writer_v2.tableProperty(
+                f"write.parquet.bloom-filter-enabled.column.{col}", "true"
+            )
+        writer_v2.createOrReplace()
     else:
         writer = df.write.mode("overwrite")
         for col in bloom_cols or []:

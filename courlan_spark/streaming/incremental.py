@@ -32,8 +32,32 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-_DELTA_DIR_RX = re.compile(r"^delta_(\d{9})$")
+_DELTA_DIR_RX = re.compile(r"^delta_(\d{9,})$")  # :09d grows past 9 digits
 _COMMIT_MARKER = "_CHAIN_COMMIT"
+_BINDING_FILE = "_CHECKPOINT_BINDING"
+
+
+def _bind_checkpoint(out_root: str, checkpoint_path: str) -> None:
+    """Bind out_root to ONE checkpoint.  foreachBatch batch ids restart
+    at 0 under a fresh checkpoint; without this guard, reusing an
+    out_root with a new checkpoint would hit old batches' commit
+    markers and silently skip new data."""
+    binding = os.path.join(out_root, _BINDING_FILE)
+    key = os.path.abspath(checkpoint_path)
+    if os.path.exists(binding):
+        with open(binding) as fh:
+            bound = fh.read().strip()
+        if bound != key:
+            raise ValueError(
+                f"out_root {out_root!r} is bound to checkpoint {bound!r} "
+                f"but the stream was started with {key!r} — batch ids "
+                "restart under a new checkpoint and would collide with "
+                "committed markers, silently dropping data; use a fresh "
+                "out_root (or the original checkpoint)"
+            )
+        return
+    with open(binding, "w") as fh:
+        fh.write(key)
 
 
 def _committed_deltas(out_root: str) -> list[str]:
@@ -67,27 +91,16 @@ def start_incremental_cluster_stream(
     committed-but-empty dir would break the store chain's snapshot
     reads).  ``shuffle_partitions`` is forwarded to run_incremental —
     the delta right-sizing rule applies per micro-batch."""
-    from ..plans.pipeline import DedupConfig, DedupPipeline, FingerprintStore
+    from ..plans.pipeline import DedupConfig
 
     cfg = config or DedupConfig()
     os.makedirs(out_root, exist_ok=True)
+    _bind_checkpoint(out_root, checkpoint_path)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        workdir = os.path.join(out_root, f"delta_{batch_id:09d}")
-        marker = os.path.join(workdir, _COMMIT_MARKER)
-        if os.path.exists(marker):  # redelivery of a committed batch
-            return
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        chain = [base_workdir] + _committed_deltas(out_root)
-        store = FingerprintStore.from_workdirs(spark, *chain)
-        pipe = DedupPipeline(spark, workdir, cfg)
-        pipe.run_incremental(
-            batch_df, store, shuffle_partitions=shuffle_partitions
+        _ingest_batch(
+            batch_df, batch_id, base_workdir, out_root, cfg, shuffle_partitions
         )
-        with open(marker, "w") as fh:
-            fh.write("")
 
     writer = pages_stream.writeStream.foreachBatch(ingest).option(
         "checkpointLocation", checkpoint_path
@@ -95,6 +108,36 @@ def start_incremental_cluster_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    base_workdir: str,
+    out_root: str,
+    cfg,
+    shuffle_partitions,
+) -> None:
+    """One micro-batch: skip if its commit marker exists (foreachBatch
+    redelivery — the marker check runs BEFORE any evaluation of
+    batch_df), skip empty batches without committing, otherwise run
+    the delta against the current store chain and commit the marker
+    last."""
+    from ..plans.pipeline import DedupPipeline, FingerprintStore
+
+    workdir = os.path.join(out_root, f"delta_{batch_id:09d}")
+    marker = os.path.join(workdir, _COMMIT_MARKER)
+    if os.path.exists(marker):  # redelivery of a committed batch
+        return
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    chain = [base_workdir] + _committed_deltas(out_root)
+    store = FingerprintStore.from_workdirs(spark, *chain)
+    pipe = DedupPipeline(spark, workdir, cfg)
+    pipe.run_incremental(batch_df, store, shuffle_partitions=shuffle_partitions)
+    with open(marker, "w") as fh:
+        fh.write("")
 
 
 def latest_assignments(

@@ -138,4 +138,6 @@ def test_snapshot_bloom_filters_written_and_equivalent(spark, tmp_path):
         "SELECT md5('31337') AS s"
     ).collect()[0]["s"]
 
-    assert DedupPipeline._STAGE_BLOOM == DedupPipeline._STAGE_ORDER
+    assert set(DedupPipeline._STAGE_KEY_COLS) == {
+        "02_url_dedup", "04_fingerprints"
+    } and all(v == ["doc_id"] for v in DedupPipeline._STAGE_KEY_COLS.values())

@@ -94,8 +94,8 @@ def test_streaming_incremental_matches_batch_chain(spark):
         )
         assert stream_rows == batch_rows and len(stream_rows) > 800
 
-        # redelivery of a committed batch is a no-op (marker fast-path):
         # re-running the stream over the same checkpoint adds nothing
+        # (the source replays no files)
         query2 = start_incremental_cluster_stream(
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -107,5 +107,27 @@ def test_streaming_incremental_matches_batch_chain(spark):
         )
         query2.awaitTermination()
         assert _committed_deltas(out_root) == committed
+
+        # the marker fast-path itself: a redelivered batch_id whose
+        # marker exists returns BEFORE evaluating the batch — batch_df
+        # is None here, so any evaluation would raise
+        from courlan_spark.streaming.incremental import _ingest_batch
+
+        _ingest_batch(None, 0, base_dir, out_root, cfg, "auto")
+        assert _committed_deltas(out_root) == committed
+
+        # checkpoint binding: reusing out_root with a FRESH checkpoint
+        # must refuse (batch ids restart at 0 and would hit committed
+        # markers, silently dropping the new data)
+        import pytest
+
+        with pytest.raises(ValueError, match="bound to checkpoint"):
+            start_incremental_cluster_stream(
+                spark.readStream.schema(schema).parquet(stream_in),
+                base_dir,
+                out_root,
+                os.path.join(root, "ckpt_fresh"),
+                config=cfg,
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -2,6 +2,9 @@
 queries() entry on Spark and its oracle_sql() on DuckDB over the same
 sf dir, compare row count, column names, and an order-insensitive
 value hash.  Usage: python tools/check_oracles.py [sf_dir] [names...]
+
+The compare loop lives here once; check_oracles_driverlike.py reuses
+it with a hostile session so the two gates cannot diverge.
 """
 
 from __future__ import annotations
@@ -41,16 +44,11 @@ def value_hash(rows):
     return h.hexdigest()
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    sys.path.insert(0, "/root/repo")
+def run_gate(spark, sf_dir: str, only: set[str] | None = None) -> list[str]:
+    """Run every (or the named) queries() entry against its DuckDB
+    oracle on the given session; print per-query verdicts and return
+    the failing names."""
     import __spark_entry__ as entrymod
-    from courlan_spark.plans.session import get_session
-
-    spark = get_session(cpus=8)
-    spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
     for table in (
@@ -101,6 +99,19 @@ def main():
             failures.append(name)
         else:
             print(f"{name}: OK ({len(sdf)} rows)")
+    return failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    from courlan_spark.plans.session import get_session
+
+    spark = get_session(cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = run_gate(spark, sf_dir, only)
     spark.stop()
     if failures:
         print("FAILED:", failures)

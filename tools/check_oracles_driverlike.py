@@ -7,6 +7,9 @@ q_event_sessions red in rounds 3-4 while the UTC-pinned local replica
 passed.  Every queries() entry must produce the same value hash as
 its DuckDB oracle under THIS session too.
 
+The compare loop is shared with check_oracles.py (run_gate) so the
+replica cannot diverge from the gate it replicates.
+
 Usage: python tools/check_oracles_driverlike.py [sf_dir] [names...]
 """
 
@@ -21,15 +24,15 @@ def main():
     only = set(sys.argv[2:])
 
     sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     # Python WORKERS spawn with PYTHONPATH from the environment, not the
     # driver's sys.path — without this, every UDF-bearing query dies with
     # ModuleNotFoundError when the script is launched outside /root/repo.
     os.environ["PYTHONPATH"] = "/root/repo" + os.pathsep + os.environ.get(
         "PYTHONPATH", ""
     )
-    from check_oracles import normalize, value_hash  # noqa: E402
+    from check_oracles import run_gate
 
-    import duckdb
     from pyspark.sql import SparkSession
 
     spark = (
@@ -43,56 +46,7 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-
-    import __spark_entry__ as entrymod
-
-    con = duckdb.connect()
-    for table in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        con.execute(
-            f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
-        )
-
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    failures = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        sql = oracles.get(name)
-        try:
-            sdf = fn(spark, sf_dir).toPandas()
-        except Exception as exc:  # noqa: BLE001
-            print(f"{name}: SPARK ERROR {exc}")
-            failures.append(name)
-            continue
-        if sql is None:
-            print(f"{name}: rows-only, {len(sdf)} rows")
-            continue
-        try:
-            ddf = con.execute(sql).df()
-        except Exception as exc:  # noqa: BLE001
-            print(f"{name}: ORACLE ERROR {exc}")
-            failures.append(name)
-            continue
-        problems = []
-        if sorted(sdf.columns) != sorted(ddf.columns):
-            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
-        if len(sdf) != len(ddf):
-            problems.append(f"rows {len(sdf)} vs {len(ddf)}")
-        if not problems:
-            hs, hd = value_hash(normalize(sdf)), value_hash(normalize(ddf))
-            if hs != hd:
-                srows, drows = normalize(sdf), normalize(ddf)
-                diff = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
-                problems.append(f"value hash mismatch; first diffs: {diff}")
-        if problems:
-            print(f"{name}: MISMATCH — {'; '.join(problems)}")
-            failures.append(name)
-        else:
-            print(f"{name}: OK ({len(sdf)} rows)")
+    failures = run_gate(spark, sf_dir, only)
     spark.stop()
     if failures:
         print("FAILED:", failures)
