@@ -163,3 +163,21 @@ def test_incremental_error_still_fits(tmp_path):
     line = bench.emit_result(r, details_file=str(tmp_path / "d.json"))
     assert len(line) <= bench._MAX_RESULT_LINE
     assert "boom" in json.loads(line)["incremental"]["error"]
+
+
+def test_incremental_leg_runs_before_and_outside_the_soft_budget():
+    """Round-5 lesson (builder run6): with the incremental section
+    LAST and gated on the soft budget, one stolen window inflating the
+    scaling pairs dropped the leg entirely (`incremental: null`) from
+    the official record.  Pin the source order — the incremental
+    subprocess launches before the scaling-pair loop — and that no
+    budget comparison guards its launch."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    inc_at = src.index("_incremental_bench_subprocess(corpus_path)")
+    pairs_at = src.index("while len(pairs)")
+    assert inc_at < pairs_at, "incremental leg must run before the pairs"
+    gate = src[: inc_at].rsplit("if ", 1)[-1].split(":", 1)[0]
+    assert "SPARK_GRAFT_BENCH_INCREMENTAL" in gate
+    assert "budget" not in gate, "incremental launch must not be budget-gated"
