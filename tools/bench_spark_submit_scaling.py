@@ -1,0 +1,277 @@
+"""North-rule two-cluster-size evidence through the REAL deploy path.
+
+The north rule asks for the pipeline to run via `spark-submit
+--py-files` on a multi-executor cluster at two sizes (N and 4N) with
+throughput scaling efficiency >= 0.8 between them.  bench.py measures
+that ratio with in-process sessions; this tool measures it through
+the actual deployment artifact: it builds courlan_spark.zip
+(tools/make_pyfiles_zip.py), then launches the identical end-to-end
+dedup pipeline with the real `spark-submit` binary — from a foreign
+cwd, with the repo stripped from PYTHONPATH, so driver AND executor
+Python workers resolve the package from the shipped zip alone — once
+at --master local[HIGH] and once at --master local[LOW], interleaved,
+over the SAME pre-materialized parquet corpus.  The job script uses a
+vanilla SparkSession.builder (no .master() call) so the submit
+command line alone decides the cluster size, exactly as it would on a
+real cluster manager.
+
+Output: one JSON line with per-leg seconds/docs-per-sec/probes and
+the per-pair + median scaling efficiency; also written to
+tools/bench_spark_submit_scaling_result.json.
+
+Usage:
+    python tools/bench_spark_submit_scaling.py [--pages 180000]
+        [--pairs 1] [--low 1] [--high 4]
+
+CPU cost: one pair at 180k pages is roughly two local[1] runs
+(~6-7 min calm; the first is the untimed JIT warm-up run) plus two
+local[4] runs (~2.5 min calm).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+# the engine's session knobs, replicated on the submit command line —
+# on a real cluster these live in spark-defaults.conf / the submit
+# wrapper, not in code, which is why the job script must not need
+# get_session() to perform well
+_COMMON_CONF = [
+    "spark.sql.adaptive.enabled=true",
+    "spark.sql.adaptive.coalescePartitions.enabled=true",
+    "spark.sql.adaptive.skewJoin.enabled=true",
+    "spark.sql.execution.arrow.pyspark.enabled=true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch=10000",
+    "spark.sql.files.maxPartitionBytes=134217728",
+    "spark.sql.parquet.pushdown.inFilterThreshold=1000",
+    "spark.sql.session.timeZone=UTC",
+    "spark.ui.enabled=false",
+    "spark.driver.memory=" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+]
+
+_PREP_JOB = """\
+import sys
+from pyspark.sql import SparkSession
+
+spark = SparkSession.builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+from courlan_spark.sources.pages import generate_pages
+
+n_pages, out = int(sys.argv[1]), sys.argv[2]
+generate_pages(spark, n_pages).write.mode("overwrite").parquet(out)
+print("PREP_DONE", out)
+"""
+
+# the timed leg: identical pipeline + config to bench.py's scaling
+# legs, but package resolution goes through the shipped zip and the
+# parallelism through the submit line.  Warm-up (worker start + numpy
+# imports) runs untimed first, as in bench._warm_workers.
+_LEG_JOB = """\
+import sys, time
+from pyspark.sql import SparkSession, functions as F
+
+spark = SparkSession.builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+import courlan_spark
+assert "courlan_spark.zip" in courlan_spark.__file__, courlan_spark.__file__
+
+from courlan_spark.functions.hashing import make_minhash_udf, make_simhash_udf
+from courlan_spark.functions.url_udfs import make_check_url_udf
+from courlan_spark.plans.pipeline import DedupConfig, DedupPipeline
+
+corpus, workdir, n_pages = sys.argv[1], sys.argv[2], int(sys.argv[3])
+cores = spark.sparkContext.defaultParallelism
+
+check, mh, sh = make_check_url_udf(), make_minhash_udf(), make_simhash_udf()
+(
+    spark.range(0, cores * 2, numPartitions=cores)
+    .select(
+        check(F.lit("https://warm.example.com/x/1")).alias("c"),
+        mh(F.lit("warm up the numpy kernels once")).alias("m"),
+        sh(F.lit("warm up the numpy kernels once")).alias("s"),
+    )
+    .write.format("noop").mode("overwrite").save()
+)
+
+pages = spark.read.parquet(corpus)
+cols = pages.select("url", "warc_ts", "html", "text", "lang")
+
+# Run the pipeline TWICE and time the second: a fresh JVM's first
+# execution of each generated whole-stage-codegen class runs
+# interpreted/C1 until the JIT promotes it — measured on this corpus
+# as ~20 s of one-time cost per query shape (an identical second
+# execution of the verify stage: 33.6 s -> 11.6 s), which lands on
+# both legs equally in absolute terms and therefore taxes the short
+# high-parallelism leg 4x harder in relative terms, reading as false
+# scaling loss.  A 1/9-size pilot recovers only part of it (too few
+# invocations to clear the C2 thresholds).  The first full-size run
+# is reported as cold_secs; the second is the steady-state number —
+# the only regime that exists when a leg processes 100 TB.
+cold_started = time.time()
+DedupPipeline(
+    spark, workdir + "/cold",
+    DedupConfig(jaccard_threshold=0.6, snapshot_mode="minimal"),
+    count_rows=False,
+).run(cols)
+cold_elapsed = time.time() - cold_started
+
+started = time.time()
+pipe = DedupPipeline(
+    spark, workdir,
+    DedupConfig(jaccard_threshold=0.6, snapshot_mode="minimal"),
+    count_rows=False,
+)
+pipe.run(cols)
+elapsed = time.time() - started
+print("LEG_RESULT secs=%.2f docs_per_sec=%.1f cores=%d cold_secs=%.2f" % (
+    elapsed, n_pages / elapsed, cores, cold_elapsed))
+"""
+
+
+def _spark_submit() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+def _clean_env() -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and os.path.abspath(p) != REPO
+    )
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    # one math thread per worker (session factory does the same)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        env.setdefault(var, "1")
+    return env
+
+
+def _submit(master: str, zip_path: str, job: str, args: list[str],
+            cwd: str, shuffle_partitions: int, timeout: int) -> str:
+    cmd = [
+        _spark_submit(), "--master", master,
+        "--conf", f"spark.sql.shuffle.partitions={shuffle_partitions}",
+    ]
+    for conf in _COMMON_CONF:
+        cmd += ["--conf", conf]
+    cmd += ["--py-files", zip_path, job, *args]
+    proc = subprocess.run(
+        cmd, cwd=cwd, env=_clean_env(), capture_output=True, text=True,
+        timeout=timeout,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"spark-submit failed ({master})\n"
+            f"stdout tail: {proc.stdout[-1500:]}\nstderr tail: {proc.stderr[-1500:]}"
+        )
+    return proc.stdout
+
+
+def _run_leg(cores: int, zip_path: str, job_path: str, corpus: str,
+             n_pages: int, cwd: str) -> dict:
+    import bench  # probes + calm thresholds, shared with the main harness
+
+    workdir = tempfile.mkdtemp(prefix=f"submit_leg_{cores}_")
+    try:
+        probe0, dram0 = bench._cpu_probe(), bench._dram_probe()
+        out = _submit(
+            f"local[{cores}]", zip_path, job_path,
+            [corpus, workdir, str(n_pages)], cwd,
+            shuffle_partitions=max(cores, 8), timeout=1800,
+        )
+        probe1, dram1 = bench._cpu_probe(), bench._dram_probe()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    marker = [l for l in out.splitlines() if l.startswith("LEG_RESULT ")]
+    if not marker:
+        raise RuntimeError(f"no LEG_RESULT in stdout: {out[-1500:]}")
+    fields = dict(kv.split("=") for kv in marker[0].split()[1:])
+    assert int(fields["cores"]) == cores, marker[0]
+    return {
+        "cores": cores,
+        "secs": float(fields["secs"]),
+        "cold_secs": float(fields.get("cold_secs", "nan")),
+        "docs_per_sec": float(fields["docs_per_sec"]),
+        "cpu_probe_mops": min(probe0, probe1),
+        "dram_probe_gbs": min(dram0, dram1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=180000)
+    ap.add_argument("--pairs", type=int, default=1)
+    ap.add_argument("--low", type=int, default=1)
+    ap.add_argument("--high", type=int, default=4)
+    args = ap.parse_args()
+
+    import bench
+    from make_pyfiles_zip import build
+
+    tmp = tempfile.mkdtemp(prefix="submit_scaling_")
+    try:
+        zip_path = build(os.path.join(tmp, "courlan_spark.zip"))
+        prep_path = os.path.join(tmp, "prep.py")
+        leg_path = os.path.join(tmp, "leg.py")
+        with open(prep_path, "w") as fh:
+            fh.write(_PREP_JOB)
+        with open(leg_path, "w") as fh:
+            fh.write(_LEG_JOB)
+
+        corpus = os.path.join(tmp, "pages")
+        _submit("local[8]", zip_path, prep_path,
+                [str(args.pages), corpus], tmp,
+                shuffle_partitions=8, timeout=900)
+
+        pairs = []
+        for _ in range(args.pairs):
+            pf = bench._wait_for_calm(120.0)
+            high = _run_leg(args.high, zip_path, leg_path, corpus,
+                            args.pages, tmp)
+            low = _run_leg(args.low, zip_path, leg_path, corpus,
+                           args.pages, tmp)
+            eff = (high["docs_per_sec"] / low["docs_per_sec"]) / (
+                args.high / args.low
+            )
+            pairs.append({
+                "preflight": pf, "high": high, "low": low,
+                "efficiency": round(eff, 3),
+            })
+
+        effs = sorted(p["efficiency"] for p in pairs)
+        result = {
+            "metric": "spark_submit_scaling_efficiency",
+            "deploy_path": "spark-submit --py-files courlan_spark.zip",
+            "pages": args.pages,
+            "cpus_low": args.low,
+            "cpus_high": args.high,
+            "pairs": pairs,
+            "efficiency": effs[len(effs) // 2],
+        }
+        out_path = os.path.join(
+            REPO, "tools", "bench_spark_submit_scaling_result.json"
+        )
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
