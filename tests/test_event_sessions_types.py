@@ -111,3 +111,45 @@ def test_stream_sessions_identical_under_all_read_configs(spark):
     # and the streaming dual equals the batch gap-and-island output
     _, batch_rows = _rows_under(spark, "true", "UTC", query=q_event_sessions)
     assert baseline == batch_rows
+
+
+def test_session_no_dtype_matches_oracle(spark):
+    """The rounds-3-5 red cell, pinned at the DTYPE level: DuckDB types
+    the oracle's windowed sum(CASE…) as HUGEINT; pandas has no int128,
+    so .df() converts it to float64, while a bigint Spark column
+    arrives int64 — a typewise stringify then hashes `42.0` vs `42`
+    (rows and schema match, hash doesn't).  This test runs the REAL
+    oracle through .df() and the REAL query through toPandas() and
+    asserts (a) column dtypes agree exactly and (b) the honest
+    (str, not %.6g) value hash agrees — the check that would have
+    caught the red cells in rounds 3-5."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracles import normalize, value_hash
+
+    from courlan_spark.plans.catalog import ORACLES, q_event_sessions
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    oracle = con.execute(ORACLES["q_event_sessions"]).df()
+    spark_df = q_event_sessions(spark, SF_DIR).toPandas()
+
+    cols = sorted(oracle.columns)
+    assert sorted(spark_df.columns) == cols
+    oracle_dtypes = {c: str(oracle[c].dtype) for c in cols}
+    spark_dtypes = {c: str(spark_df[c].dtype) for c in cols}
+    assert oracle_dtypes == spark_dtypes, (
+        f"dtype divergence the driver would hash as red: "
+        f"oracle={oracle_dtypes} spark={spark_dtypes}"
+    )
+    # the oracle REALLY emits float64 here (the HUGEINT->pandas path);
+    # if DuckDB ever changes that, this assert flags the pin for review
+    assert oracle_dtypes["session_no"] == "float64", oracle_dtypes
+
+    assert value_hash(normalize(spark_df)) == value_hash(normalize(oracle))
