@@ -35,15 +35,36 @@ _BASE = np.uint64(1000003)
 
 
 def _kgram_hashes(text: str, k: int) -> np.ndarray:
-    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    # O(n) prefix-inverse rolling hash (same base/mask as the shingle
+    # kernel — see hashing._rolling_hashes; bit-identical to the former
+    # (n, k) sliding-window matmul, measured 42 -> 9 us/doc at k=25)
+    from ..functions.hashing import _rolling_hashes
+
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
     if codes.size < k:
         return np.empty(0, dtype=np.uint64)
-    powers = np.empty(k, dtype=np.uint64)
-    acc = np.uint64(1)
-    for i in range(k - 1, -1, -1):
-        powers[i] = acc
-        acc = (acc * _BASE) & _MASK32
-    return (sliding_window_view(codes, k) @ powers) & _MASK32
+    return _rolling_hashes(codes, k)
+
+
+def _window_min(hashes: np.ndarray, w: int) -> np.ndarray:
+    """Minimum of every length-w window — two-pass block-min (van
+    Herk/Gil-Werman): prefix minima and suffix minima over w-sized
+    blocks give each window minimum as min(suffix[i], prefix[i+w-1]).
+    O(3n) regardless of w, vs the former sliding_window_view
+    .min(axis=1)'s O(n*w); identical output (pinned in
+    tests/test_kernels.py)."""
+    nw = hashes.size - w + 1
+    pad = (-hashes.size) % w
+    if pad:
+        hp = np.concatenate(
+            [hashes, np.full(pad, np.iinfo(hashes.dtype).max, dtype=hashes.dtype)]
+        )
+    else:
+        hp = hashes
+    blocks = hp.reshape(-1, w)
+    pref = np.minimum.accumulate(blocks, axis=1).ravel()
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suf[:nw], pref[w - 1 : w - 1 + nw])
 
 
 def winnow_fingerprints(text: str, k: int = DEFAULT_KGRAM, w: int = DEFAULT_WINDOW) -> np.ndarray:
@@ -53,8 +74,7 @@ def winnow_fingerprints(text: str, k: int = DEFAULT_KGRAM, w: int = DEFAULT_WIND
         return np.empty(0, dtype=np.int64)
     if hashes.size <= w:
         return np.unique(hashes.min(keepdims=True)).astype(np.int64)
-    windows = sliding_window_view(hashes, w)
-    return np.unique(windows.min(axis=1)).astype(np.int64)
+    return np.unique(_window_min(hashes, w)).astype(np.int64)
 
 
 def _suffix_automaton(a: str) -> tuple[list[int], list[int], list[dict[str, int]]]:

@@ -201,13 +201,27 @@ def _snapshot_path(workdir: str, stage: str) -> str:
 
 
 def _safe_observation(obs) -> dict:
-    """Read an Observation defensively.  When AQE propagates an empty
-    shuffle stage upward (e.g. every LSH bucket over the cap on a
-    degenerate corpus), the CollectMetrics row can come back without a
-    schema and Observation.get raises from toPyRow — Spark-side issue;
-    the stage itself completed fine, only the counter is lost."""
+    """Read an Observation defensively and NON-BLOCKING.
+
+    Two failure modes: (a) when AQE propagates an empty shuffle stage
+    upward (e.g. every LSH bucket over the cap on a degenerate corpus),
+    the CollectMetrics row can come back without a schema and the row
+    decode raises from toPyRow — Spark-side issue; (b) an observed node
+    that never EXECUTED (its consumer stage resumed from a snapshot, so
+    the build ran but the dataset did not) leaves Observation.get
+    blocked forever on the JVM promise — the r6 ephemeral-stage hang.
+    getRowOrEmpty() returns an empty Option instead of waiting."""
     try:
-        return dict(obs.get)
+        jopt = obs._jo.getRowOrEmpty()
+        if not jopt.isDefined():
+            return {"unavailable": "observed node did not execute (resumed?)"}
+        from pyspark.serializers import CPickleSerializer
+
+        utils = getattr(
+            obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+        )
+        row = CPickleSerializer().loads(utils.toPyRow(jopt.get()))
+        return dict(row.asDict(recursive=False))
     except Exception as exc:  # noqa: BLE001
         return {"unavailable": str(exc).splitlines()[0][:120]}
 
@@ -251,6 +265,23 @@ class DedupPipeline:
     _STAGE_KEY_COLS = {"02_url_dedup": ["doc_id"], "04_fingerprints": ["doc_id"]}
 
     def _stage(self, name: str, build, resume: bool, kind: str = "snapshot") -> DataFrame:
+        # "ephemeral": lazy in EVERY snapshot mode — for cheap derived
+        # frames whose durability buys nothing (the canonical frame is
+        # a deterministic function of the input the next stage re-reads
+        # anyway; the substring verify folds into the evidence job).
+        # Each skipped stage was one serialized write-job barrier in
+        # snapshot_mode="all" — part of the measured core-count-
+        # independent serial term of the spark-submit scaling record.
+        # Resume stays correct: a killed run recomputes the ephemeral
+        # frame deterministically inside its durable consumer's build.
+        if kind == "ephemeral":
+            started = time.time()
+            df = build()
+            self.metrics.append(
+                {"stage": name, "kind": "ephemeral",
+                 "secs": round(time.time() - started, 3)}
+            )
+            return df
         if self.config.snapshot_mode == "minimal" and kind != "snapshot":
             started = time.time()
             df = build()
@@ -366,7 +397,7 @@ class DedupPipeline:
         def build_canonical():
             return observed("canonical_rows", self._canonical_frame(pages))
 
-        canonical = self._stage("01_canonical", build_canonical, resume, kind="lazy")
+        canonical = self._stage("01_canonical", build_canonical, resume, kind="ephemeral")
 
         # ---- stage 2: exact URL dedup (earliest capture wins) ----
         def build_url_dedup():
@@ -403,7 +434,7 @@ class DedupPipeline:
                 .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
             )
 
-        text_pairs = self._stage("03_exact_text_pairs", build_text_pairs, resume, kind="lazy")
+        text_pairs = self._stage("03_exact_text_pairs", build_text_pairs, resume, kind="ephemeral")
 
         # ---- stage 4: ALL text fingerprints in ONE scan ----
         # MinHash + SimHash + winnowing share a single Arrow transfer
@@ -528,7 +559,7 @@ class DedupPipeline:
                     cands, url_unique, min_length=cfg.substring_min_len
                 ).select("doc_a", "doc_b")
 
-            substr_pairs = self._stage("07_substring_pairs", build_substring_pairs, resume, kind="lazy")
+            substr_pairs = self._stage("07_substring_pairs", build_substring_pairs, resume, kind="ephemeral")
         else:
             substr_pairs = None
 
@@ -547,7 +578,7 @@ class DedupPipeline:
                 url_unique, observed("evidence_pairs", evidence)
             )
 
-        clusters = self._stage("08_clusters", build_clusters, resume, kind="lazy")
+        clusters = self._stage("08_clusters", build_clusters, resume, kind="ephemeral")
 
         # ---- final output: url -> cluster ----
         def build_output():
@@ -684,7 +715,7 @@ class DedupPipeline:
             "01_canonical",
             lambda: observed("canonical_rows", self._canonical_frame(new_pages)),
             resume,
-            kind="lazy",
+            kind="ephemeral",
         )
 
         # delta URL dedup, then first-seen-wins against the store: a
@@ -874,7 +905,7 @@ class DedupPipeline:
                     min_length=cfg.substring_min_len,
                 ).select("doc_a", "doc_b"),
                 resume,
-                kind="lazy",
+                kind="ephemeral",
             )
         else:
             substr_pairs = None

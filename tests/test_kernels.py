@@ -100,3 +100,52 @@ def test_partition_suffix_array_pass(spark):
     assert len(out) == 1
     doc_a, doc_b, block_len = out[0]
     assert (doc_a, doc_b) == (1, 2) and block_len >= 63
+
+
+def test_r6_kernel_rewrites_bit_identical():
+    """Round-6 kernel rewrites pinned against their naive reference
+    forms on random unicode-ish documents: (a) the O(n) prefix-inverse
+    rolling hash == the (n, k) sliding-window matmul, (b) the blocked
+    two-pass window minimum == sliding_window_view().min(axis=1),
+    (c) the minimum.at MinHash == the lexsort first-per-bin MinHash.
+    A drift in any of these would silently change every fingerprint
+    (and fail the DuckDB oracles, but this catches it in seconds)."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from courlan_spark.functions import hashing
+    from courlan_spark.operators.suffix import _kgram_hashes, _window_min
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdefghij klmnopqrstuvwxyz.,!?é中文")
+    for length in (0, 5, 9, 24, 25, 26, 39, 40, 63, 500, 3000):
+        text = "".join(rng.choice(alphabet, length)) if length else ""
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        for k in (9, 25):
+            if codes.size >= k:
+                powers = hashing._shingle_powers(k)
+                ref = (
+                    sliding_window_view(codes.astype(np.uint64), k) @ powers
+                ) & np.uint64(0xFFFFFFFF)
+                got = hashing._rolling_hashes(codes, k)
+                assert np.array_equal(ref, got), (length, k)
+        # window min (w = 39, the winnowing window)
+        h = _kgram_hashes(text, 25)
+        if h.size > 39:
+            ref = sliding_window_view(h, 39).min(axis=1)
+            assert np.array_equal(ref, _window_min(h, 39))
+        # minhash: scatter-min vs the lexsort reference
+        feats = hashing.shingle_hashes(text, 9)
+        seed_mix = np.uint64((42 * 0x9E3779B97F4A7C15) % (1 << 64))
+        hashed = hashing._splitmix64(feats.astype(np.uint64) + seed_mix)
+        bins = (hashed % np.uint64(128)).astype(np.int64)
+        values = hashing._splitmix64(hashed)
+        ref_sig = np.full(128, np.iinfo(np.uint64).max, dtype=np.uint64)
+        order = np.lexsort((values, bins))
+        first = np.ones(order.size, dtype=bool)
+        sorted_bins = bins[order]
+        first[1:] = sorted_bins[1:] != sorted_bins[:-1]
+        ref_sig[sorted_bins[first]] = values[order][first]
+        got_sig = np.full(128, np.iinfo(np.uint64).max, dtype=np.uint64)
+        np.minimum.at(got_sig, bins, values)
+        assert np.array_equal(ref_sig, got_sig), length
