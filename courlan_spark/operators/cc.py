@@ -159,8 +159,12 @@ def connected_components_bounded(
         .distinct()
         .localCheckpoint()
     )
-    rows = edges_ck.limit(max_local_edges + 1).collect()
-    if len(rows) > max_local_edges:
+    # Arrow transfer, not collect(): row-by-row pickling of up to 200k
+    # Row objects cost ~1 s at the bench's 81k-edge graph; toPandas
+    # rides the Arrow channel (enabled session-wide) and hands back two
+    # int64 columns
+    pdf = edges_ck.limit(max_local_edges + 1).toPandas()
+    if len(pdf) > max_local_edges:
         return connected_components(edges_ck, max_iterations=max_iterations)
 
     parent: dict[int, int] = {}
@@ -173,8 +177,7 @@ def connected_components_bounded(
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        a, b = r["src"], r["dst"]
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)

@@ -288,6 +288,13 @@ class DedupPipeline:
             if kind == "persist":
                 df = df.persist()
                 df.count()  # materialize the cache once
+            elif kind == "persist_lazy":
+                # persist WITHOUT the count barrier: the cache fills
+                # inside the next stage's (single-consumer) job — used
+                # for 02, whose only consumer before the overlap group
+                # is 04's eager materialization, so no concurrent jobs
+                # can race the cache build (guide §2.6 serial-term cut)
+                df = df.persist()
             self.metrics.append(
                 {"stage": name, "kind": kind, "secs": round(time.time() - started, 3)}
             )
@@ -408,7 +415,7 @@ class DedupPipeline:
                 salt_partitions=cfg.salt_partitions,
             )
 
-        url_unique = self._stage("02_url_dedup", build_url_dedup, resume, kind="persist")
+        url_unique = self._stage("02_url_dedup", build_url_dedup, resume, kind="persist_lazy")
 
         # optional training-data quality gate (config bounds), applied
         # identically in full and incremental modes — per-row
@@ -731,7 +738,7 @@ class DedupPipeline:
                 store.docs.select("norm_url"), "norm_url", "left_anti"
             ).select("doc_id", "norm_url", "domain", "warc_ts", "text", "lang", "n_copies")
 
-        url_unique = self._stage("02_url_dedup", build_url_dedup, resume, kind="persist")
+        url_unique = self._stage("02_url_dedup", build_url_dedup, resume, kind="persist_lazy")
 
         # optional training-data quality gate (config bounds), applied
         # identically in full and incremental modes — per-row

@@ -102,3 +102,35 @@ def test_incremental_embedding_neardup_equals_batch_restriction(spark, emb):
     }
     assert got == expected
     assert all(a % 4 == 0 or b % 4 == 0 for a, b in got)
+
+
+def test_embedding_neardup_inline_dispatch_row_identical(spark, emb):
+    """Round-6 payload dispatch: the inline-payload shape (vectors ride
+    the single bucket exchange — taken when the caller's n_vectors hint
+    says the whole corpus is small) must be ROW-IDENTICAL to the
+    ids-only + attach shape (the no-hint default, which
+    test_plan_shapes pins as shipping ids only), and the dispatch must
+    pick ids-only without a hint or beyond the payload bound."""
+    from courlan_spark.operators.similarity import embedding_neardup_pairs
+
+    kwargs = dict(dim=64, threshold=0.35, planes=4, tables=8, round_decimals=4)
+    ids_only = embedding_neardup_pairs(emb, **kwargs)
+    inline = embedding_neardup_pairs(emb, inline_payload=True, **kwargs)
+    hinted = embedding_neardup_pairs(emb, n_vectors=emb.count(), **kwargs)
+
+    def rows(df):
+        return sorted((r.id_a, r.id_b, r.cosine) for r in df.collect())
+
+    expected = rows(ids_only)
+    assert len(expected) > 0
+    assert rows(inline) == expected
+    assert rows(hinted) == expected
+
+    # the hinted small corpus takes the inline plan: a single bucket
+    # exchange, no join anywhere (pair expansion is native array code)
+    optimized = hinted._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in optimized
+    # a payload estimate past the bound falls back to ids-only (joins
+    # present: bucket self-join + payload attach)
+    big = embedding_neardup_pairs(emb, n_vectors=10_000_000, **kwargs)
+    assert "Join" in big._jdf.queryExecution().optimizedPlan().toString()
