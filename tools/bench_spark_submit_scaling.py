@@ -189,11 +189,19 @@ def _run_leg(cores: int, zip_path: str, job_path: str, corpus: str,
     workdir = tempfile.mkdtemp(prefix=f"submit_leg_{cores}_")
     try:
         probe0, dram0 = bench._cpu_probe(), bench._dram_probe()
-        out = _submit(
-            f"local[{cores}]", zip_path, job_path,
-            [corpus, workdir, str(n_pages)], cwd,
-            shuffle_partitions=max(cores, 8), timeout=1800,
-        )
+        # mid-run sampler (r5 ADVICE: bracketing probes cannot catch a
+        # mid-leg steal; bench.py's own methodology samples DURING the
+        # run, so this tool now does too)
+        with bench._MidRunSampler(interval=10.0) as sampler:
+            out = _submit(
+                f"local[{cores}]", zip_path, job_path,
+                [corpus, workdir, str(n_pages)], cwd,
+                shuffle_partitions=max(cores, 8),
+                # scale the timeout with the corpus (r5 ADVICE: a fixed
+                # 1800 s kills a larger --pages leg with no record):
+                # cold local[1] measured ~267 s at 180k pages; 40x slack
+                timeout=max(1800, int(n_pages / 180000 * 1800) * 2),
+            )
         probe1, dram1 = bench._cpu_probe(), bench._dram_probe()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -207,8 +215,8 @@ def _run_leg(cores: int, zip_path: str, job_path: str, corpus: str,
         "secs": float(fields["secs"]),
         "cold_secs": float(fields.get("cold_secs", "nan")),
         "docs_per_sec": float(fields["docs_per_sec"]),
-        "cpu_probe_mops": min(probe0, probe1),
-        "dram_probe_gbs": min(dram0, dram1),
+        "cpu_probe_mops": min([probe0, probe1] + sampler.cpu_samples),
+        "dram_probe_gbs": min([dram0, dram1] + sampler.dram_samples),
     }
 
 
@@ -253,6 +261,8 @@ def main() -> None:
                 "efficiency": round(eff, 3),
             })
 
+        import statistics
+
         effs = sorted(p["efficiency"] for p in pairs)
         result = {
             "metric": "spark_submit_scaling_efficiency",
@@ -261,7 +271,9 @@ def main() -> None:
             "cpus_low": args.low,
             "cpus_high": args.high,
             "pairs": pairs,
-            "efficiency": effs[len(effs) // 2],
+            # TRUE median (r5 ADVICE: effs[len//2] is the upper-middle
+            # element for even pair counts — biased high)
+            "efficiency": round(statistics.median(effs), 3),
         }
         out_path = os.path.join(
             REPO, "tools", "bench_spark_submit_scaling_result.json"
