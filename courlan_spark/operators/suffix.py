@@ -42,7 +42,7 @@ def _kgram_hashes(text: str, k: int) -> np.ndarray:
 
     codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
     if codes.size < k:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.uint32)
     return _rolling_hashes(codes, k)
 
 
@@ -74,7 +74,17 @@ def winnow_fingerprints(text: str, k: int = DEFAULT_KGRAM, w: int = DEFAULT_WIND
         return np.empty(0, dtype=np.int64)
     if hashes.size <= w:
         return np.unique(hashes.min(keepdims=True)).astype(np.int64)
-    return np.unique(_window_min(hashes, w)).astype(np.int64)
+    wm = _window_min(hashes, w)
+    # each window minimum persists for ~w consecutive windows, so wm is
+    # run-length redundant by construction; dropping consecutive
+    # repeats first (O(n) compare) shrinks the np.unique sort from n
+    # elements to ~2n/w without changing the value SET it returns
+    # (measured 94 -> ~30 us/doc; identical output pinned in
+    # tests/test_kernels.py)
+    keep = np.empty(wm.size, dtype=bool)
+    keep[0] = True
+    np.not_equal(wm[1:], wm[:-1], out=keep[1:])
+    return np.unique(wm[keep]).astype(np.int64)
 
 
 def _suffix_automaton(a: str) -> tuple[list[int], list[int], list[dict[str, int]]]:

@@ -149,3 +149,56 @@ def test_r6_kernel_rewrites_bit_identical():
         got_sig = np.full(128, np.iinfo(np.uint64).max, dtype=np.uint64)
         np.minimum.at(got_sig, bins, values)
         assert np.array_equal(ref_sig, got_sig), length
+
+
+def test_r6b_micro_opts_bit_identical():
+    """Second round-6 micro pass pinned against naive references:
+    (a) winnow_fingerprints' consecutive-run dedup before np.unique
+    returns exactly unique(sliding window min), (b) the power-of-two
+    bit-mask binning equals the uint64 modulo binning inside
+    minhash_signature, (c) the uint32 rolling-hash return carries the
+    same integer values as the former uint64 form end to end
+    (signatures and simhash unchanged)."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from courlan_spark.functions import hashing
+    from courlan_spark.operators.suffix import _kgram_hashes
+
+    rng = np.random.default_rng(11)
+    alphabet = list("abcdefghij klmnopqrstuvwxyz.,!?é中文")
+    # include a run-heavy text (repeats) so the dedup path sees long runs
+    texts = ["".join(rng.choice(alphabet, n)) for n in (0, 24, 25, 63, 64, 500, 3000)]
+    texts.append("abcdefghij" * 120)
+    for text in texts:
+        # (a) winnow set identity vs naive unique(window-min)
+        h = _kgram_hashes(text, 25)
+        if h.size > 39:
+            ref = np.unique(
+                sliding_window_view(h, 39).min(axis=1)
+            ).astype(np.int64)
+            assert np.array_equal(ref, winnow_fingerprints(text)), len(text)
+        # (b) mask == modulo binning for the default 128 bins
+        feats = hashing.shingle_hashes(text)
+        hashed = hashing._splitmix64(
+            feats.astype(np.uint64)
+            + np.uint64((hashing.DEFAULT_SEED * 0x9E3779B97F4A7C15) % (1 << 64))
+        )
+        assert np.array_equal(
+            hashed % np.uint64(128), hashed & np.uint64(127)
+        ), len(text)
+        # (c) uint32 shingle values == the former uint64 pipeline values
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        if codes.size >= hashing.DEFAULT_SHINGLE_K:
+            powers = hashing._shingle_powers(hashing.DEFAULT_SHINGLE_K)
+            ref64 = np.unique(
+                (
+                    sliding_window_view(
+                        codes.astype(np.uint64), hashing.DEFAULT_SHINGLE_K
+                    )
+                    @ powers
+                )
+                & np.uint64(0xFFFFFFFF)
+            )
+            assert np.array_equal(ref64, feats.astype(np.uint64)), len(text)
+        assert feats.dtype == np.uint32
