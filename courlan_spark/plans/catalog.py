@@ -1154,11 +1154,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH recall, and the verify join in one comparison."""
     _views(spark, sf_dir, "documents")
     docs = spark.table("documents")
-    # persist: the signature frame feeds BOTH the LSH bucket branch and
-    # the verify stage's estimate attach — unpersisted, the MinHash
-    # kernel ran twice over the corpus (two ArrowEvalPython nodes in
-    # the r6 before-plan); the cache materializes lazily inside the
-    # query's own first action, so nothing is precomputed across runs
+    # UNPERSISTED by explicit A/B: the signature frame feeds both the
+    # LSH bucket branch and the verify stage's estimate attach, so the
+    # MinHash kernel evaluates twice (two ArrowEvalPython nodes) — but
+    # persisting it here improved only the warm repeat (2.66 -> 2.34 s)
+    # while regressing the one-shot cold run this query is benched as
+    # (+0.8 s cache-build overhead for a frame consumed twice).  The
+    # cluster queries below, whose frames feed 2-3 consumers, persist.
     sigs = dedup.minhash_signatures(docs)
     pairs, _ = dedup.lsh_candidate_pairs(sigs)
     return dedup.verify_pairs_jaccard(pairs, docs, signatures=sigs, threshold=0.5)
