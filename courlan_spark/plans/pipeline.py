@@ -441,7 +441,13 @@ class DedupPipeline:
                 .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
             )
 
-        text_pairs = self._stage("03_exact_text_pairs", build_text_pairs, resume, kind="ephemeral")
+        # 03 materializes INSIDE the overlap group below (guide §2.6):
+        # as an ephemeral frame it was recomputed inside 08's evidence
+        # checkpoint — ~0.9-1.4 s of md5+groupBy+join sitting on the
+        # post-overlap critical path, while the 05 wall leaves 06/07
+        # idle tail to absorb it (tools/exp_r06_stage08.py).  It only
+        # needs the 02 cache, which 04's eager materialization fills
+        # before the group starts.
 
         # ---- stage 4: ALL text fingerprints in ONE scan ----
         # MinHash + SimHash + winnowing share a single Arrow transfer
@@ -552,10 +558,17 @@ class DedupPipeline:
                  lambda: self._stage("07_substring_cands", build_substring_cands,
                                      resume, kind="persist"))
             )
+        # 03 last: cheapest member, fills the tail the 05 wall leaves
+        specs.append(
+            ("03_exact_text_pairs",
+             lambda: self._stage("03_exact_text_pairs", build_text_pairs,
+                                 resume, kind="persist"))
+        )
         staged = self._materialize_stages(specs, resume)
         minhash_pairs = staged["05_minhash_pairs"]
         simhash_pairs = staged.get("06_simhash_pairs")
         substr_cands = staged.get("07_substring_cands")
+        text_pairs = staged["03_exact_text_pairs"]
 
         if substr_cands is not None:
             def build_substring_pairs():
