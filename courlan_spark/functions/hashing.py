@@ -402,4 +402,12 @@ def make_jaccard_udf(shingle_k: int = DEFAULT_SHINGLE_K):
         out = [jaccard(sh(ta), sh(tb)) for ta, tb in zip(a, b)]
         return pd.Series(out, dtype="float64")
 
-    return jaccard_udf
+    # Pure, but marked nondeterministic (guide §4.4 / make_check_url_udf
+    # rationale): verify callers filter on the UDF column right above a
+    # doc_a spread repartition, and Catalyst pushed the filter — WITH a
+    # copy of the UDF — below that exchange, evaluating the kernel twice
+    # (plan nodes 47+51 in the r6 q_minhash_lsh_pairs capture).  The
+    # marking yields one evaluation, placed AFTER the co-partitioning
+    # exchange, which is also where the per-batch shingle cache was
+    # designed to hit.
+    return jaccard_udf.asNondeterministic()

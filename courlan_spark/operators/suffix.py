@@ -271,6 +271,13 @@ def verify_substring_pairs(
             dtype="int32",
         )
 
+    # pure, but marked nondeterministic: the lcs_len filter below was
+    # being pushed — with a COPY of this ms-per-pair pure-Python UDF —
+    # beneath the spread repartition, running the suffix automaton
+    # twice per pair (plan nodes 33+37 in the r6 q_substring_pairs
+    # capture; guide §4.4).  One evaluation, after the spread exchange.
+    lcs_udf = lcs_udf.asNondeterministic()
+
     from .dedup import attach_pair_payloads
 
     paired = attach_pair_payloads(pairs, docs, id_col, text_col, "ta", "tb")
