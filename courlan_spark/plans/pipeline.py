@@ -239,6 +239,12 @@ class DedupPipeline:
         self.config = config or DedupConfig()
         self.count_rows = count_rows
         self.metrics: list[dict] = []
+        # snapshot writes deferred to a background thread (guide §2.6):
+        # (stage name, Future) pairs joined by _join_writes() before a
+        # run returns — the workdir is complete at return, same as the
+        # synchronous path
+        self._pending_writes: list[tuple[str, object]] = []
+        self._write_pool = None
         os.makedirs(workdir, exist_ok=True)
 
     def _persist_config(self) -> None:
@@ -264,7 +270,14 @@ class DedupPipeline:
     # filter on it (row-group point skipping inside surviving files).
     _STAGE_KEY_COLS = {"02_url_dedup": ["doc_id"], "04_fingerprints": ["doc_id"]}
 
-    def _stage(self, name: str, build, resume: bool, kind: str = "snapshot") -> DataFrame:
+    def _stage(
+        self,
+        name: str,
+        build,
+        resume: bool,
+        kind: str = "snapshot",
+        overlap_write: bool = False,
+    ) -> DataFrame:
         # "ephemeral": lazy in EVERY snapshot mode — for cheap derived
         # frames whose durability buys nothing (the canonical frame is
         # a deterministic function of the input the next stage re-reads
@@ -308,6 +321,43 @@ class DedupPipeline:
             )
             return df
         df = build()
+        if overlap_write and self.config.overlap_stages:
+            # The stage's CONSUMERS only need the frame; only the NEXT
+            # RUN (resume / store chaining) needs the files.  Persist +
+            # count materializes the data once, then the parquet write
+            # — a pure read-of-cache + commit job that was a ~1 s
+            # serial barrier per snapshot stage in the delta profile —
+            # runs on a background thread and hides under the following
+            # stages.  _join_writes() blocks before run()/
+            # run_incremental() return, so externally the workdir is
+            # exactly as complete as the synchronous path's, and a
+            # crash before the join leaves no _SUCCESS marker — resume
+            # rebuilds the stage, as it would for any interrupted
+            # write.
+            from concurrent.futures import ThreadPoolExecutor
+
+            df = df.persist()
+            n_rows = df.count()
+            if self._write_pool is None:
+                self._write_pool = ThreadPoolExecutor(max_workers=2)
+            fut = self._write_pool.submit(
+                _write_snapshot,
+                df,
+                path,
+                order_by=self._STAGE_KEY_COLS.get(name),
+                bloom_cols=self._STAGE_KEY_COLS.get(name),
+            )
+            self._pending_writes.append((name, fut))
+            metric = {
+                "stage": name,
+                "resumed": False,
+                "kind": "snapshot_overlap",
+                "secs": round(time.time() - started, 3),
+            }
+            if self.count_rows:
+                metric["rows"] = n_rows
+            self.metrics.append(metric)
+            return df
         _write_snapshot(
             df,
             path,
@@ -325,6 +375,22 @@ class DedupPipeline:
             metric["partitions"] = out.rdd.getNumPartitions()
         self.metrics.append(metric)
         return out
+
+    def _join_writes(self) -> None:
+        """Block on every deferred snapshot write (re-raising failures)
+        and record how long the join actually waited — ~0 when the
+        writes hid under later stages, which is the point."""
+        for name, fut in self._pending_writes:
+            started = time.time()
+            fut.result()
+            self.metrics.append(
+                {"stage": f"{name}_write_join",
+                 "secs": round(time.time() - started, 3)}
+            )
+        self._pending_writes.clear()
+        if self._write_pool is not None:
+            self._write_pool.shutdown(wait=True)
+            self._write_pool = None
 
     def _materialize_stages(self, specs, resume: bool) -> dict:
         """Materialize several INDEPENDENT stages — concurrently when
@@ -415,7 +481,8 @@ class DedupPipeline:
                 salt_partitions=cfg.salt_partitions,
             )
 
-        url_unique = self._stage("02_url_dedup", build_url_dedup, resume, kind="persist_lazy")
+        url_unique = self._stage("02_url_dedup", build_url_dedup, resume,
+                                 kind="persist_lazy", overlap_write=True)
 
         # optional training-data quality gate (config bounds), applied
         # identically in full and incremental modes — per-row
@@ -472,7 +539,8 @@ class DedupPipeline:
             )
 
         fingerprints = self._stage(
-            "04_fingerprints", build_fingerprints, resume, kind="persist"
+            "04_fingerprints", build_fingerprints, resume, kind="persist",
+            overlap_write=True,
         )
         signatures = fingerprints.select("doc_id", "signature")
 
@@ -607,6 +675,7 @@ class DedupPipeline:
             )
 
         output = self._stage("09_assignments", build_output, resume)
+        self._join_writes()
 
         summary = {
             "config": {
@@ -751,7 +820,8 @@ class DedupPipeline:
                 store.docs.select("norm_url"), "norm_url", "left_anti"
             ).select("doc_id", "norm_url", "domain", "warc_ts", "text", "lang", "n_copies")
 
-        url_unique = self._stage("02_url_dedup", build_url_dedup, resume, kind="persist_lazy")
+        url_unique = self._stage("02_url_dedup", build_url_dedup, resume,
+                                 kind="persist_lazy", overlap_write=True)
 
         # optional training-data quality gate (config bounds), applied
         # identically in full and incremental modes — per-row
@@ -777,6 +847,7 @@ class DedupPipeline:
             ),
             resume,
             kind="persist",
+            overlap_write=True,
         )
         store_fps = store.fingerprints
 
@@ -942,7 +1013,8 @@ class DedupPipeline:
                 evidence = evidence.unionByName(substr_pairs)
             return observed("evidence_pairs", evidence)
 
-        evidence = self._stage("08_evidence", build_evidence, resume, kind="persist")
+        evidence = self._stage("08_evidence", build_evidence, resume,
+                               kind="persist", overlap_write=True)
 
         def build_assignments():
             merged = inc.merge_assignments(
@@ -958,6 +1030,7 @@ class DedupPipeline:
             )
 
         output = self._stage("09_assignments", build_assignments, resume)
+        self._join_writes()
 
         summary = {
             "mode": "incremental",
