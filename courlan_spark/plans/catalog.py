@@ -1308,8 +1308,15 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where("vec_id < 8").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # tables=48 (r6): 24 was exhaustive for sf0.01's seed-42 vectors
+    # but missed neighbors on sf0.001's (same 500-row size, different
+    # content).  Raising the table count only ADDS candidate pairs, and
+    # the output is the exact-cosine top-5 over candidates — already
+    # equal to the exact oracle at sf0.01 — so a candidate superset
+    # provably cannot change it there (re-verified hash-green) while it
+    # restores exhaustive coverage on the other small SF.
     return similarity.lsh_topk(
-        emb, queries, dim=64, k=5, planes=4, tables=24, round_decimals=4
+        emb, queries, dim=64, k=5, planes=4, tables=48, round_decimals=4
     )
 
 
@@ -1320,8 +1327,14 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where("vec_id < 8").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # n_probe = n_centroids (r6): 24 probes were exhaustive for
+    # sf0.01's vectors but missed lists on sf0.001's.  Probing every
+    # list only ADDS candidates; the exact-cosine top-5 over a
+    # candidate superset is unchanged where it already equaled the
+    # exact oracle (sf0.01, re-verified hash-green) and becomes exact
+    # on every corpus — the coverage the docstring always claimed.
     return similarity.ivf_topk(
-        emb, queries, dim=64, k=5, n_centroids=32, n_probe=24, round_decimals=4
+        emb, queries, dim=64, k=5, n_centroids=32, n_probe=32, round_decimals=4
     )
 
 
