@@ -45,6 +45,7 @@ def incremental_bucket_pairs(
     observation=None,
     payload_col: str | None = None,
     out_payload: tuple[str, str] = ("payload_a", "payload_b"),
+    prune_old_by_new_keys: bool = False,
 ) -> DataFrame:
     """Candidate pairs touching at least one NEW doc, in one shuffle.
 
@@ -57,6 +58,24 @@ def incremental_bucket_pairs(
     windowed count of new members (shares the exchange), so the store's
     buckets never materialize as arrays unless a new doc landed in
     them.
+
+    ``prune_old_by_new_keys`` (guide §3.2, big-side pre-filter): drop
+    store rows whose key no delta row carries with a BROADCAST
+    semi-join BEFORE the exchange, instead of only after it via the
+    windowed new-member count.  Keys are 61-bit hashes, so a store row
+    survives essentially only when it truly shares a bucket with the
+    delta — the exchange shrinks from O(store) to O(delta + true
+    partners) membership rows.  Pair output is IDENTICAL: surviving
+    buckets keep every old member (the semi-join filters by key, not
+    row), so the old+new cap counts are unchanged; the only observable
+    difference is the drop ACCOUNTING, which stops counting over-cap
+    buckets no delta row touches (they could never produce a pair in
+    this pass, so nothing is silently lost).  Callers must enable this
+    only when the delta's distinct keys comfortably fit a broadcast —
+    the pipeline gates it on the counted delta size; at a delta scale
+    past that bound the union shape below is the right one (one
+    exchange of the store rows beats a shuffled semi-join PLUS that
+    same exchange).
     """
     from pyspark.sql import Window
 
@@ -66,6 +85,9 @@ def incremental_bucket_pairs(
         member = F.struct(
             F.col("doc_id").alias("id"), F.col(payload_col).alias("pl")
         )
+    if prune_old_by_new_keys:
+        new_keys = new_rows.select(key_col).distinct()
+        old_rows = old_rows.join(F.broadcast(new_keys), key_col, "left_semi")
     cols = ["doc_id", key_col] + ([payload_col] if payload_col else [])
     tagged = new_rows.select(*cols, F.lit(True).alias("_new")).unionByName(
         old_rows.select(*cols, F.lit(False).alias("_new"))
@@ -144,6 +166,7 @@ def incremental_minhash_pairs(
     observation=None,
     new_buckets: DataFrame | None = None,
     old_buckets: DataFrame | None = None,
+    prune_old_by_new_keys: bool = False,
 ) -> DataFrame:
     """Distinct LSH candidate (doc_a, doc_b) with >= one new side.
 
@@ -157,6 +180,7 @@ def incremental_minhash_pairs(
         "band_key",
         max_bucket_size,
         observation=observation,
+        prune_old_by_new_keys=prune_old_by_new_keys,
     ).distinct()
 
 
@@ -166,6 +190,7 @@ def incremental_simhash_pairs(
     max_hamming: int = 3,
     max_bucket_size: int | None = 1000,
     n_blocks: int = 6,
+    prune_old_by_new_keys: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) within ``max_hamming`` bits, >= one new
     side.  Inputs are (doc_id, simhash) frames (delta and store)."""
@@ -176,6 +201,7 @@ def incremental_simhash_pairs(
         max_bucket_size,
         payload_col="simhash",
         out_payload=("fp_a", "fp_b"),
+        prune_old_by_new_keys=prune_old_by_new_keys,
     )
     return (
         pairs.distinct()
@@ -190,6 +216,7 @@ def incremental_substring_candidates(
     old_winnow: DataFrame,
     max_bucket_size: int | None = 128,
     min_shared_fps: int = 2,
+    prune_old_by_new_keys: bool = False,
 ) -> DataFrame:
     """Winnowing-fingerprint candidates with >= one new side.  Inputs
     are (doc_id, winnow array<long>) — the stored column; no text is
@@ -197,7 +224,8 @@ def incremental_substring_candidates(
     new_fps = new_winnow.select("doc_id", F.explode("winnow").alias("fp"))
     old_fps = old_winnow.select("doc_id", F.explode("winnow").alias("fp"))
     return (
-        incremental_bucket_pairs(new_fps, old_fps, "fp", max_bucket_size)
+        incremental_bucket_pairs(new_fps, old_fps, "fp", max_bucket_size,
+                                 prune_old_by_new_keys=prune_old_by_new_keys)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared_fps)

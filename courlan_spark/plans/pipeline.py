@@ -759,10 +759,12 @@ class DedupPipeline:
         self._persist_config()
 
         session_width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        self._delta_rows = None
         if shuffle_partitions == "auto":
             # delta-scale count: reads only parquet footers / the
             # filter column, never text
             n_delta = new_pages.count()
+            self._delta_rows = n_delta
             shuffle_partitions = min(
                 session_width, max(8, -(-n_delta // 1000))
             )
@@ -805,6 +807,16 @@ class DedupPipeline:
             lambda: observed("canonical_rows", self._canonical_frame(new_pages)),
             resume,
             kind="ephemeral",
+        )
+
+        # guide §3.2 pre-filter gate: the delta's distinct bucket keys
+        # (<= rows x bands) must comfortably fit a broadcast before the
+        # store side may be semi-join-pruned ahead of its exchange;
+        # unknown delta size (caller pinned the shuffle width) keeps
+        # the always-safe union shape.  8M keys ~ 64 MB broadcast.
+        prune_old = (
+            self._delta_rows is not None
+            and self._delta_rows * max(cfg.bands, 20) <= 8_000_000
         )
 
         # delta URL dedup, then first-seen-wins against the store: a
@@ -865,6 +877,7 @@ class DedupPipeline:
             return inc.incremental_minhash_pairs(
                 fingerprints.select("doc_id", "signature"),
                 store_fps.select("doc_id", "signature"),
+                prune_old_by_new_keys=prune_old,
                 bands=cfg.bands,
                 max_bucket_size=cfg.max_bucket_size,
                 observation=lsh_obs,
@@ -949,6 +962,7 @@ class DedupPipeline:
                          store_fps.select("doc_id", "simhash"),
                          max_hamming=cfg.simhash_max_hamming,
                          max_bucket_size=cfg.max_bucket_size,
+                         prune_old_by_new_keys=prune_old,
                      ).select("doc_a", "doc_b"),
                      resume,
                      kind="lazy",
@@ -969,6 +983,7 @@ class DedupPipeline:
                          fingerprints.select("doc_id", "winnow"),
                          store_fps.select("doc_id", "winnow"),
                          max_bucket_size=cfg.max_bucket_size,
+                         prune_old_by_new_keys=prune_old,
                      ),
                      resume,
                      kind="persist",

@@ -160,6 +160,51 @@ def test_incremental_bucket_pairs_semantics(spark):
     assert acct["active_buckets"] == 2  # k1 and (dropped) k3 have a new member
 
 
+def test_incremental_bucket_pairs_prune_identical(spark):
+    """The guide-3.2 broadcast pre-filter (prune_old_by_new_keys) must
+    yield the IDENTICAL pair set and keep the old+new cap semantics:
+    surviving buckets keep every old member, so a bucket pushed over
+    the cap by store rows stays dropped either way."""
+    new_rows = spark.createDataFrame(
+        [(100, "k1"), (101, "k1"), (102, "k3")], "doc_id long, k string"
+    )
+    old_rows = spark.createDataFrame(
+        [(1, "k1"), (2, "k2"), (3, "k2"), (4, "k3"), (5, "k3"), (6, "k3"),
+         (7, "k4"), (8, "k4"), (9, "k4"), (10, "k4")],
+        "doc_id long, k string",
+    )
+    def pairs(prune):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in inc.incremental_bucket_pairs(
+                new_rows, old_rows, "k", max_bucket_size=3,
+                prune_old_by_new_keys=prune,
+            ).collect()
+        }
+    # k1 mixed under cap -> pairs; k2 old-only -> nothing; k3 mixed but
+    # over cap via store members -> dropped even with pruning (the
+    # semi-join keeps ALL of a surviving key's old rows); k4 old-only
+    # over cap -> nothing either way
+    expected = {(100, 101), (1, 100), (1, 101)}
+    assert pairs(False) == expected
+    assert pairs(True) == expected
+    # payload form too (simhash-style struct members)
+    new_p = spark.createDataFrame(
+        [(100, "k1", 7), (102, "k3", 9)], "doc_id long, k string, pl long"
+    )
+    old_p = spark.createDataFrame(
+        [(1, "k1", 3), (2, "k2", 4)], "doc_id long, k string, pl long"
+    )
+    def ppairs(prune):
+        return {
+            tuple(r) for r in inc.incremental_bucket_pairs(
+                new_p, old_p, "k", max_bucket_size=3, payload_col="pl",
+                prune_old_by_new_keys=prune,
+            ).collect()
+        }
+    assert ppairs(True) == ppairs(False) == {(1, 100, 3, 7)}
+
+
 def test_incremental_text_pairs_connectivity(spark):
     """New docs link to the store's hash representative when the hash
     is known, and to the delta-min otherwise."""
